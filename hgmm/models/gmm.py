@@ -1,0 +1,111 @@
+"""Flat K-component GMM fit via EM — config 1 of BASELINE.json (bunny,
+K=64, CPU-runnable).
+
+TPU-native replacement for the reference's flat GMM-EM registration model
+(SURVEY.md §2.1 item 6). The EM loop is a jitted `lax.scan` whose body is
+two MXU contractions (hgmm.ops.em_stats) + a closed-form M-step — no
+per-iteration host sync, unlike the reference's kernel-launch/memcpy loop
+(SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hgmm import ops
+from hgmm.ops.gaussians import MixtureParams, mstep_update, pack_loglik_weights
+
+
+def init_params(points: jax.Array, k: int, key: jax.Array) -> MixtureParams:
+    """Random-subset means + isotropic covariance from the bounding box.
+
+    Deterministic given `key`; jit-friendly (static k).
+    """
+    n = points.shape[0]
+    idx = jax.random.choice(key, n, shape=(k,), replace=False)
+    mu = points[idx]
+    lo = jnp.min(points, axis=0)
+    hi = jnp.max(points, axis=0)
+    scale = jnp.maximum(jnp.max(hi - lo), 1e-6)
+    var = (scale / max(k ** (1.0 / 3.0), 1.0)) ** 2
+    sigma = jnp.broadcast_to(var * jnp.eye(3, dtype=points.dtype), (k, 3, 3))
+    pi = jnp.full((k,), 1.0 / k, dtype=points.dtype)
+    return MixtureParams(pi=pi, mu=mu, sigma=sigma)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cov_type"))
+def em_fit(
+    points: jax.Array,
+    init: MixtureParams,
+    n_iters: int = 30,
+    cov_reg: float = 1e-6,
+    cov_type: str = "full",
+    point_weights: jax.Array | None = None,
+) -> tuple[MixtureParams, jax.Array]:
+    """Run `n_iters` EM sweeps; returns (params, loglik_history [n_iters]).
+
+    The loop is a lax.scan (BASELINE.json:5 "jitted scan"): fixed trip count,
+    loglik history returned for convergence monitoring (SURVEY.md §6.5).
+    """
+    if point_weights is None:
+        total = jnp.asarray(points.shape[0], dtype=points.dtype)
+    else:
+        total = jnp.sum(point_weights)
+
+    def step(params: MixtureParams, _):
+        W = pack_loglik_weights(params)
+        stats = ops.em_stats(points, W, point_weights)
+        T0, T1, T2 = ops.unpack_suffstats(stats.S)
+        new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
+        return new, stats.loglik
+
+    params, logliks = jax.lax.scan(step, init, None, length=n_iters)
+    return params, logliks
+
+
+def log_likelihood(params: MixtureParams, points: jax.Array) -> jax.Array:
+    """Mean per-point log-likelihood under the mixture."""
+    W = pack_loglik_weights(params)
+    stats = ops.em_stats(points, W)
+    return stats.loglik / points.shape[0]
+
+
+@dataclasses.dataclass
+class Gmm:
+    """Fitted flat GMM over a target cloud. `Gmm.fit` is the public entry
+    (SURVEY.md §1.2 Models layer)."""
+
+    params: MixtureParams
+
+    @classmethod
+    def fit(
+        cls,
+        points: jax.Array,
+        k: int = 64,
+        n_iters: int = 30,
+        key: jax.Array | None = None,
+        cov_reg: float = 1e-6,
+        cov_type: str = "full",
+    ) -> tuple["Gmm", jax.Array]:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        init = init_params(points, k, key)
+        params, logliks = em_fit(
+            points, init, n_iters=n_iters, cov_reg=cov_reg, cov_type=cov_type
+        )
+        return cls(params), logliks
+
+    def log_likelihood(self, points: jax.Array) -> jax.Array:
+        return log_likelihood(self.params, points)
+
+
+# Backwards-friendly aliases used in hgmm.__init__.
+GmmParams = MixtureParams
+
+
+def fit_gmm(points, k=64, n_iters=30, key=None, **kw) -> tuple[Gmm, jax.Array]:
+    return Gmm.fit(points, k=k, n_iters=n_iters, key=key, **kw)

@@ -1,0 +1,234 @@
+"""Gaussian-mixture parameter packing: the quadratic-feature formulation.
+
+This module is the mathematical heart of the TPU design (SURVEY.md §8 "hard
+parts"; BASELINE.json:5 "tiled point x mixture log-likelihood matmul").
+
+The per-point/per-component Gaussian log-density
+
+    log [pi_j N(y; mu_j, Sigma_j)]
+      = -1/2 [ y^T A_j y - 2 b_j . y + c_j ],     A_j = Sigma_j^{-1},
+        b_j = A_j mu_j,
+        c_j = mu_j^T b_j + logdet Sigma_j + 3 log 2pi - 2 log pi_j
+
+is LINEAR in the degree-<=2 monomial features of y:
+
+    psi(y) = [x^2, y^2, z^2, xy, xz, yz, x, y, z, 1]        (10 features)
+
+so a whole [N, K] log-likelihood table is ONE matmul  -1/2 * Psi @ W  with
+Psi = psi(points) [N, 10] and W [10, K] packed from mixture parameters.
+Dually, the EM M-step sufficient statistics are EXACTLY
+
+    S = Gamma^T @ Psi  in [K, 10]:
+        S[:, 9]   = T0 = sum_i gamma_ij               (weights)
+        S[:, 6:9] = T1 = sum_i gamma_ij y_i           (first moments)
+        S[:, 0:6] = T2 = sum_i gamma_ij y_i y_i^T     (second moments, sym)
+
+so the E-step AND the M-step reduction are both MXU matmuls sharing one
+feature matrix — the design the Pallas kernels in hgmm.ops.fused_em fuse so
+the [N, K] responsibility matrix never materializes in HBM.
+
+The reference's CUDA E-step kernel + segmented-reduction M-step (SURVEY.md
+§2.1 items 9-10) correspond to these two contractions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+PHI_DIM = 10  # [x^2, y^2, z^2, xy, xz, yz, x, y, z, 1]
+PHI_PAD = 16  # padded feature width: multiple of 8 sublanes, MXU-friendly
+
+LOG_2PI = 1.8378770664093453
+
+# Index maps between the 6 packed symmetric entries and [3,3] matrices.
+_SYM_I = jnp.array([0, 1, 2, 0, 0, 1])
+_SYM_J = jnp.array([0, 1, 2, 1, 2, 2])
+
+
+class MixtureParams(NamedTuple):
+    """Plain GMM parameters. K components in R^3.
+
+    weights may be unnormalized in intermediate states; log-space where noted.
+    """
+
+    pi: jax.Array  # [K] mixture weights (sum to 1 over active components)
+    mu: jax.Array  # [K, 3] means
+    sigma: jax.Array  # [K, 3, 3] covariances (SPD)
+
+    @property
+    def k(self) -> int:
+        return self.pi.shape[0]
+
+
+def features(points: jax.Array, pad: int | None = None) -> jax.Array:
+    """psi(y): degree-<=2 monomial features. points [N, 3] -> [N, pad or 10].
+
+    When `pad` is given the trailing columns are zero — safe to matmul against
+    a zero-padded W.
+    """
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    ones = jnp.ones_like(x)
+    phi = jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z, x, y, z, ones], axis=-1)
+    if pad is not None and pad > PHI_DIM:
+        phi = jnp.pad(phi, ((0, 0), (0, pad - PHI_DIM)))
+    return phi
+
+
+def sym_pack(m: jax.Array) -> jax.Array:
+    """[..., 3, 3] symmetric -> [..., 6] packed [m00,m11,m22,m01,m02,m12]."""
+    return m[..., _SYM_I, _SYM_J]
+
+
+def sym_unpack(p: jax.Array) -> jax.Array:
+    """[..., 6] packed -> [..., 3, 3] symmetric."""
+    out = jnp.zeros(p.shape[:-1] + (3, 3), dtype=p.dtype)
+    out = out.at[..., _SYM_I, _SYM_J].set(p)
+    return out.at[..., _SYM_J, _SYM_I].set(p)
+
+
+def _inv_and_logdet_3x3(sigma: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Closed-form Cholesky-based inverse + logdet for batched SPD [K, 3, 3].
+
+    Cofactor expansion cancels catastrophically in fp32 for ill-conditioned
+    covariances (eigenvalues at the regularization floor give det ~ 1e-14 —
+    well below fp32 cancellation noise), so we factor Sigma = L L^T with the
+    explicit 3x3 recurrence, invert L, and form Sigma^-1 = L^-T L^-1.
+    logdet = 2 sum log diag(L). No LAPACK — fusable on TPU, differentiable.
+    """
+    tiny = jnp.asarray(1e-30, dtype=sigma.dtype)
+    a, b, c = sigma[..., 0, 0], sigma[..., 1, 0], sigma[..., 2, 0]
+    d, e = sigma[..., 1, 1], sigma[..., 2, 1]
+    f = sigma[..., 2, 2]
+    l11 = jnp.sqrt(jnp.maximum(a, tiny))
+    l21 = b / l11
+    l31 = c / l11
+    l22 = jnp.sqrt(jnp.maximum(d - l21 * l21, tiny))
+    l32 = (e - l21 * l31) / l22
+    l33 = jnp.sqrt(jnp.maximum(f - l31 * l31 - l32 * l32, tiny))
+    # M = L^-1 (lower triangular).
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
+    m32 = -l32 * m22 * m33
+    # Sigma^-1 = M^T M (symmetric).
+    i00 = m11 * m11 + m21 * m21 + m31 * m31
+    i01 = m21 * m22 + m31 * m32
+    i02 = m31 * m33
+    i11 = m22 * m22 + m32 * m32
+    i12 = m32 * m33
+    i22 = m33 * m33
+    inv = jnp.stack(
+        [
+            jnp.stack([i00, i01, i02], axis=-1),
+            jnp.stack([i01, i11, i12], axis=-1),
+            jnp.stack([i02, i12, i22], axis=-1),
+        ],
+        axis=-2,
+    )
+    logdet = 2.0 * (jnp.log(l11) + jnp.log(l22) + jnp.log(l33))
+    return inv, logdet
+
+
+def precision_terms(params: MixtureParams) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-component (A, b, c) of the quadratic form (see module docstring).
+
+    A: [K, 3, 3] precision; b: [K, 3] = A mu; c: [K] constant incl. -2 log pi.
+    Components with pi == 0 get c = +inf (log-weight -inf) so they never win.
+    """
+    A, logdet = _inv_and_logdet_3x3(params.sigma)
+    b = jnp.einsum("kij,kj->ki", A, params.mu)
+    # Finite floor (not -inf): keeps 0*inf NaNs out of the feature matmul
+    # while still pushing pi=0 components below the NEG_INF mask threshold.
+    log_pi = jnp.where(params.pi > 0, jnp.log(jnp.maximum(params.pi, 1e-38)), -1e30)
+    c = jnp.einsum("ki,ki->k", params.mu, b) + logdet + 3.0 * LOG_2PI - 2.0 * log_pi
+    return A, b, c
+
+
+def pack_loglik_weights(params: MixtureParams, pad: int | None = None) -> jax.Array:
+    """Pack (A, b, c) into W [10 (or pad), K] with
+    log[pi_j N(y; mu_j, Sigma_j)] = -1/2 * psi(y) @ W[:, j].
+
+    Cross-term rows carry the factor 2 (features are pure monomials).
+    """
+    A, b, c = precision_terms(params)
+    a6 = sym_pack(A)  # [K, 6]
+    rows = [
+        a6[:, 0],
+        a6[:, 1],
+        a6[:, 2],
+        2.0 * a6[:, 3],
+        2.0 * a6[:, 4],
+        2.0 * a6[:, 5],
+        -2.0 * b[:, 0],
+        -2.0 * b[:, 1],
+        -2.0 * b[:, 2],
+        c,
+    ]
+    W = jnp.stack(rows, axis=0)  # [10, K]
+    if pad is not None and pad > PHI_DIM:
+        W = jnp.pad(W, ((0, pad - PHI_DIM), (0, 0)))
+    return W
+
+
+def unpack_suffstats(S: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """S [K, >=10] = Gamma^T Psi  ->  (T0 [K], T1 [K,3], T2 [K,3,3])."""
+    T0 = S[:, 9]
+    T1 = S[:, 6:9]
+    T2 = sym_unpack(S[:, 0:6])
+    return T0, T1, T2
+
+
+def psd_project(sigma: jax.Array, floor: float) -> jax.Array:
+    """Clip eigenvalues of symmetric [K, 3, 3] matrices to >= floor.
+
+    Guards the M-step against non-PSD covariances from catastrophic
+    cancellation in T2/T0 - mu mu^T for nearly-empty components (SURVEY.md §8
+    "covariance PSD maintenance under eps-regularization"). Cheap: K x 3x3
+    eigendecompositions, far off the hot path.
+    """
+    sym = 0.5 * (sigma + jnp.swapaxes(sigma, -1, -2))
+    eigval, eigvec = jnp.linalg.eigh(sym)
+    eigval = jnp.maximum(eigval, floor)
+    return jnp.einsum("...ij,...j,...kj->...ik", eigvec, eigval, eigvec)
+
+
+def mstep_update(
+    T0: jax.Array,
+    T1: jax.Array,
+    T2: jax.Array,
+    total_weight: jax.Array | float,
+    cov_reg: float = 1e-6,
+    cov_type: str = "full",
+    min_weight: float = 1e-6,
+) -> MixtureParams:
+    """Closed-form M-step from sufficient statistics.
+
+    pi_j = T0_j / total, mu_j = T1_j / T0_j,
+    Sigma_j = T2_j / T0_j - mu_j mu_j^T + cov_reg * I.
+
+    Empty components (T0 ~ 0) keep an identity-ish covariance and pi -> 0
+    rather than producing NaNs (matches the robustness the reference needed
+    from its segmented reductions; SURVEY.md §8 "covariance PSD maintenance").
+    """
+    dtype = T1.dtype
+    safe_T0 = jnp.maximum(T0, min_weight)
+    pi = T0 / total_weight
+    mu = T1 / safe_T0[:, None]
+    sigma = T2 / safe_T0[:, None, None] - jnp.einsum("ki,kj->kij", mu, mu)
+    if cov_type == "iso":
+        var = jnp.trace(sigma, axis1=-2, axis2=-1) / 3.0
+        sigma = var[:, None, None] * jnp.eye(3, dtype=dtype)
+    elif cov_type == "diag":
+        diag = jnp.diagonal(sigma, axis1=-2, axis2=-1)  # [K, 3]
+        sigma = diag[..., None] * jnp.eye(3, dtype=dtype)
+    sigma = sigma + cov_reg * jnp.eye(3, dtype=dtype)
+    empty = T0 <= min_weight
+    sigma = jnp.where(empty[:, None, None], jnp.eye(3, dtype=dtype), sigma)
+    sigma = psd_project(sigma, floor=jnp.maximum(cov_reg, 1e-9))
+    pi = jnp.where(empty, 0.0, pi)
+    return MixtureParams(pi=pi, mu=mu, sigma=sigma)

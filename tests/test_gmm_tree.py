@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgmm.data.synthetic import make_cloud
+from hgmm.models.gmm import Gmm
+from hgmm.models.gmm_tree import GmmTree, node_complexity, seed_children
+from hgmm.ops.gaussians import MixtureParams
+
+
+def _cloud(n=3000):
+    return make_cloud(jax.random.PRNGKey(0), n, kind="trefoil")
+
+
+def test_tree_shapes():
+    tree, logliks = GmmTree.fit(_cloud(), branch=8, levels=3, em_iters=6)
+    assert len(tree.levels) == 3
+    for l, p in enumerate(tree.levels):
+        assert p.pi.shape == (8 ** (l + 1),)
+        assert p.mu.shape == (8 ** (l + 1), 3)
+        assert p.sigma.shape == (8 ** (l + 1), 3, 3)
+    assert tree.n_leaves == 512
+    assert logliks.shape == (3,)
+
+
+def test_tree_level_weights_normalized():
+    tree, _ = GmmTree.fit(_cloud(), branch=8, levels=2, em_iters=8)
+    for p in tree.levels:
+        np.testing.assert_allclose(float(jnp.sum(p.pi)), 1.0, atol=1e-3)
+
+
+def test_tree_loglik_improves_with_depth():
+    """Leaf mixture models the data at least as well as level 0
+    (SURVEY.md §5.2 tree invariants)."""
+    pts = _cloud()
+    tree, logliks = GmmTree.fit(pts, branch=8, levels=3, em_iters=8)
+    ll = np.asarray(logliks)
+    assert ll[-1] > ll[0], ll
+
+
+def test_tree_beats_flat_same_k():
+    """512 leaves should model better than flat K=8 (coarse)."""
+    pts = _cloud(2000)
+    tree, _ = GmmTree.fit(pts, branch=8, levels=2, em_iters=10)
+    flat8, _ = Gmm.fit(pts, k=8, n_iters=10, key=jax.random.PRNGKey(1))
+    from hgmm.models.gmm import log_likelihood
+
+    assert float(log_likelihood(tree.leaf_mixture(), pts)) > float(
+        log_likelihood(flat8.params, pts)
+    )
+
+
+def test_seed_children_preserves_mass():
+    p = MixtureParams(
+        pi=jnp.array([0.6, 0.4]),
+        mu=jnp.zeros((2, 3)),
+        sigma=jnp.stack([jnp.eye(3)] * 2),
+    )
+    c = seed_children(p, 8)
+    assert c.pi.shape == (16,)
+    np.testing.assert_allclose(float(jnp.sum(c.pi)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(jnp.sum(c.pi[:8]), 0.6, atol=1e-6)
+
+
+def test_cut_mixture_masses():
+    tree, _ = GmmTree.fit(_cloud(2000), branch=8, levels=2, em_iters=6)
+    cut = tree.cut_mixture(complexity_threshold=0.2)
+    np.testing.assert_allclose(float(jnp.sum(cut.pi)), 1.0, atol=1e-5)
+    # pure-leaf cut when threshold 0
+    leaf = tree.cut_mixture(0.0)
+    assert leaf.pi.shape == (64,)
+
+
+def test_node_complexity_range():
+    sigma = jnp.stack([jnp.eye(3), jnp.diag(jnp.array([1.0, 1.0, 1e-4]))])
+    c = node_complexity(MixtureParams(jnp.array([0.5, 0.5]), jnp.zeros((2, 3)), sigma))
+    assert float(c[0]) > 0.3  # isotropic -> complex
+    assert float(c[1]) < 0.01  # planar -> simple
