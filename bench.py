@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused E-step+M-step sweep throughput on 1 TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "estep_points_per_sec_chip", "value": N, "unit": "points/s",
+   "vs_baseline": r}
+where vs_baseline = measured / (0.70 * attainable-roofline points/s) — the
+BASELINE.json:5 target is ">70% of per-chip matmul roofline", so
+vs_baseline >= 1.0 means the target is met (see hgmm.eval.roofline for the
+attainable model). Extra context goes to stderr.
+
+Methodology: the sweep (tiled log-likelihood matmul + fused softmax + VMEM
+suff-stat reduction, K=512 leaf mixture — the hierarchical-GMM workhorse
+shape) is chained SWEEPS times inside one jit so the axon-tunnel dispatch
+RTT (~25 ms) amortizes out; timing is median wall time with a forced host
+sync.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 1 << 21
+K = 512
+SWEEPS = 50
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from hgmm.eval.roofline import estep_attainable
+    from hgmm.ops import em_ref, fused_em
+    from hgmm.ops.gaussians import MixtureParams, pack_loglik_weights
+
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()}")
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    mu = jax.random.normal(k1, (K, 3))
+    a = 0.3 * jax.random.normal(k2, (K, 3, 3))
+    sigma = jnp.einsum("kij,klj->kil", a, a) + 0.05 * jnp.eye(3)
+    params = MixtureParams(jax.nn.softmax(jax.random.normal(k3, (K,))), mu, sigma)
+    pts = jax.random.normal(k4, (N, 3), jnp.float32)
+
+    W = pack_loglik_weights(params)
+    pts_t = fused_em.prepare_points(pts)
+    wt = fused_em.prepare_mixture(W)
+    outlier = jnp.full((1, 1), em_ref.NEG_INF, jnp.float32)
+
+    use_pallas = backend == "tpu"
+
+    @jax.jit
+    def sweep_chain(pts_t, wt, outlier):
+        def body(c, _):
+            # Thread the carry into an input so XLA cannot hoist the
+            # loop-invariant kernel out of the scan (1e-38*c is exactly 0 in
+            # every run but data-dependent to the compiler).
+            s, ll = fused_em._em_stats_call(pts_t, wt, outlier + 1e-38 * c)
+            return c + jnp.sum(s) + ll, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SWEEPS)
+        return c
+
+    if not use_pallas:
+        log("WARNING: no TPU backend; benchmarking dense XLA twin on CPU")
+
+    # Warmup (compile) + timed runs with forced host sync.
+    for _ in range(2):
+        float(sweep_chain(pts_t, wt, outlier))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(sweep_chain(pts_t, wt, outlier))
+        times.append(time.perf_counter() - t0)
+    per_sweep = float(np.median(times)) / SWEEPS
+    pps = N / per_sweep
+
+    att = estep_attainable(K)
+    target = 0.70 * att.points_per_sec
+    flops = att.flops_per_point * pps
+    log(
+        f"K={K} N={N}: {per_sweep*1e3:.3f} ms/sweep, {pps/1e9:.3f} Gpts/s, "
+        f"{flops/1e12:.1f} TFLOP/s useful; attainable {att.points_per_sec/1e9:.3f} "
+        f"Gpts/s ({att.bound}-bound) -> {100*pps/att.points_per_sec:.1f}% of roofline"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "estep_points_per_sec_chip",
+                "value": round(pps),
+                "unit": "points/s",
+                "vs_baseline": round(pps / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

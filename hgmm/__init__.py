@@ -17,6 +17,14 @@ is the binding spec):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry code: every XLA matmul in this library is a small pose/feature
+# contraction where bf16 rounding (TPU default) is unacceptable (coordinates
+# enter squared). The hot Pallas kernels set their own precision explicitly,
+# so this costs nothing on the fast path.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from hgmm.models.gmm import Gmm, GmmParams, fit_gmm  # noqa: F401
 from hgmm.models.gmm_tree import GmmTree, fit_gmm_tree  # noqa: F401
 from hgmm.pipelines.register import register_pair  # noqa: F401

@@ -74,13 +74,18 @@ def assign(points, W, parent=None, branch=None):
 
 
 def reg_stats(
-    x, y, W, mu, A6, b3, point_weights=None, top_k=None, outlier_logit=None
+    x, W, mu, A6, b3, pose, point_weights=None, top_k=None, outlier_logit=None
 ) -> RegStats:
-    """Registration E-step statistics (Horn moments + GN normal equations)."""
+    """Registration E-step statistics (Horn moments + GN normal equations).
+
+    pose: (R, t) applied to x in the op (in-kernel on TPU)."""
     if _pallas_active():
         from hgmm.ops import fused_em
 
         return fused_em.reg_stats(
-            x, y, W, mu, A6, b3, point_weights, top_k, outlier_logit
+            x, W, mu, A6, b3, pose=pose, point_weights=point_weights,
+            top_k=top_k, outlier_logit=outlier_logit,
         )
-    return em_ref.reg_stats(x, y, W, mu, A6, b3, point_weights, top_k, outlier_logit)
+    return em_ref.reg_stats(
+        x, W, mu, A6, b3, pose, point_weights, top_k, outlier_logit
+    )

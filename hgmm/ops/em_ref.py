@@ -164,22 +164,26 @@ def top_k_mask_logits(logits: jax.Array, k: int) -> jax.Array:
 
 def reg_stats(
     x: jax.Array,
-    y: jax.Array,
     W: jax.Array,
     mu: jax.Array,
     A6: jax.Array,
     b3: jax.Array,
+    pose: tuple[jax.Array, jax.Array],
     point_weights: jax.Array | None = None,
     top_k: int | None = None,
     outlier_logit: jax.Array | float | None = None,
 ) -> RegStats:
     """Registration E-step statistics.
 
-    x: [N, 3] source points (model frame), y: [N, 3] = pose.apply(x),
+    x: [N, 3] source points (model frame); pose: (R [3,3], t [3]) applied as
+    y = x R^T + t (in the fused kernel the pose is applied in-kernel so the
+    source buffer is never rewritten per iteration);
     W: [>=10, K], mu: [K, 3], A6: [K, 6] packed precisions, b3: [K, 3]
     = Sigma^-1 mu. top_k: optional gating of associations. outlier_logit:
     log-density of a uniform outlier component (see _soft).
     """
+    R, t = pose
+    y = x @ R.T + t
     logits = _logits(y, W)
     if top_k is not None:
         logits = top_k_mask_logits(logits, top_k)

@@ -1,0 +1,582 @@
+"""Fused Pallas TPU kernels for the EM E-step + M-step reduction.
+
+The flagship kernels of the engine (SURVEY.md §2.1 items 9-10;
+BASELINE.json:5: "the E-step runs as a tiled point x mixture log-likelihood
+matmul+softmax Pallas kernel with hierarchy pruning expressed as masked
+top-k gating; the M-step reduces per-component (Sw, Swx, Swxx^T) statistics
+in VMEM").
+
+Design (see hgmm.ops.gaussians for the math):
+
+- Points live TRANSPOSED as [8, N] f32 (rows x, y, z, weight, 4 spare) so
+  the long N axis rides the 128-lane dimension. `prepare_points` builds this
+  layout once; the registration scan then never re-materializes it.
+- Per grid step (one tile of T points):
+    phi    [16, T]  degree-2 monomial features, built on the VPU
+    logits [K, T] = -1/2 * Wt[K,16] @ phi            (MXU)
+    gamma  [K, T]   masked/top-k softmax over K      (VPU)
+    S     +[K, 16] = gamma @ phi^T  contraction      (MXU, VMEM-resident)
+  so the [N, K] responsibility matrix NEVER exists in HBM — the
+  flash-attention idiom applied to EM (SURVEY.md §6.7).
+- The registration kernel additionally applies the current SE(3) pose to
+  the points IN-KERNEL (pose enters via SMEM scalars, so each scan
+  iteration re-reads only the static [8, N] source buffer) and emits the
+  O(1)-sized pose statistics: Horn cross-moments P^T Q and the Mahalanobis
+  Gauss-Newton normal equations via two more lane-contracted matmuls.
+- Grid steps on TPU execute sequentially per core: outputs with constant
+  index maps act as VMEM accumulators (zeroed at step 0).
+
+Every kernel has a dense jnp twin in hgmm.ops.em_ref; the equivalence suite
+(tests/test_fused_em.py) compares them in interpret mode on CPU and
+compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hgmm.ops.em_ref import NEG_INF, EmStats, RegStats
+from hgmm.ops.gaussians import PHI_DIM
+
+DEFAULT_TILE = 2048
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+# Precision of the hot matmuls:
+#  - "fast": fp32 operands split into hi/lo bf16 pairs; the logits matmul
+#    stacks [Whi|Whi|Wlo] against [phi_hi;phi_lo;phi_hi] along the (heavily
+#    padded) 16->48-deep contraction, so full ~fp32 accuracy costs ONE bf16
+#    MXU pass instead of the 6 passes of Precision.HIGHEST. Measured 2026-08-17
+#    on v5e: HIGHEST runs the K=512 sweep at 3.9 TFLOP/s (= its structural
+#    ceiling); the split path raises the ceiling 6x on the logits matmul and
+#    2x on the T-deep stats matmul.
+#  - "strict": fp32 Precision.HIGHEST everywhere (bit-conservative twin).
+DEFAULT_PRECISION = "fast"
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _split_hi_lo(x):
+    """fp32 -> (bf16 hi, bf16 lo) with x ~= hi + lo (~16 mantissa bits)."""
+    hi = x.astype(_BF16)
+    lo = (x - hi.astype(_F32)).astype(_BF16)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# Layout preparation
+# ---------------------------------------------------------------------------
+
+def prepare_points(
+    points: jax.Array,
+    point_weights: jax.Array | None = None,
+    tile: int = DEFAULT_TILE,
+) -> jax.Array:
+    """[N, 3] (+ optional [N] weights) -> [8, N_pad] transposed layout.
+
+    Rows 0-2: x, y, z; row 3: point weight (0 for padding); rows 4-7 spare.
+    Idempotent-ish: arrays already shaped [8, M] pass through untouched.
+    """
+    if points.ndim == 2 and points.shape[0] == 8 and points.shape[1] != 3:
+        return points
+    n = points.shape[0]
+    n_pad = _round_up(max(n, 1), tile)
+    if point_weights is None:
+        w = jnp.ones((n,), points.dtype)
+    else:
+        w = point_weights.astype(points.dtype)
+    pts_t = jnp.concatenate([points.T, w[None, :]], axis=0)  # [4, N]
+    return jnp.pad(pts_t, ((0, 4), (0, n_pad - n)))
+
+
+def prepare_mixture(
+    W: jax.Array, k_pad_to: int = 8, precision: str = DEFAULT_PRECISION
+) -> jax.Array:
+    """pack_loglik_weights output [>=10, K] -> Wt [K_pad, 16] f32 (strict)
+    or [K_pad, 48] bf16 = [Whi | Whi | Wlo] (fast).
+
+    Padded components get the zero row except c = 2e30 (mask floor) so their
+    logits fall below NEG_INF.
+    """
+    d, k = W.shape
+    Wt = W.T  # [K, d]
+    if d < 16:
+        Wt = jnp.pad(Wt, ((0, 0), (0, 16 - d)))
+    k_pad = _round_up(k, k_pad_to)
+    if k_pad != k:
+        pad_row = jnp.zeros((k_pad - k, 16), Wt.dtype).at[:, 9].set(2e30)
+        Wt = jnp.concatenate([Wt, pad_row], axis=0)
+    if precision == "fast":
+        hi, lo = _split_hi_lo(Wt.astype(_F32))
+        Wt = jnp.concatenate([hi, hi, lo], axis=1)  # [K_pad, 48]
+    return Wt
+
+
+# ---------------------------------------------------------------------------
+# Kernel building blocks
+# ---------------------------------------------------------------------------
+
+def _phi_of(x, y, z):
+    """[1,T] coordinate rows -> [16,T] monomial features (VPU)."""
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return jnp.concatenate(
+        [x * x, y * y, z * z, x * y, x * z, y * z, x, y, z, one,
+         zero, zero, zero, zero, zero, zero],
+        axis=0,
+    )
+
+
+def _logits_of(wt, phi):
+    """wt [K,16] f32 (strict) or [K,48] bf16 (fast); phi [16,T] f32
+    -> [K,T] log pi_j N(y_i)."""
+    if wt.dtype == _BF16:
+        hi, lo = _split_hi_lo(phi)
+        phi_cat = jnp.concatenate([hi, lo, hi], axis=0)  # [48, T]
+        return -0.5 * jnp.dot(
+            wt, phi_cat, preferred_element_type=_F32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    return -0.5 * jnp.dot(wt, phi, preferred_element_type=_F32, precision=_HI)
+
+
+def _stats_dot(gamma, phi, fast: bool):
+    """sum_t gamma[:,t] phi[:,t]^T: [K,T] x [16,T] -> [K,16] over lanes.
+
+    Fast path: gamma rounds to a SINGLE bf16 (its rounding error is RNE-
+    unbiased and averages out over the T-point reduction) while phi keeps
+    full hi/lo precision by stacking the split on the OUTPUT side:
+    [K,T] x [32,T] -> [K,32], summed 16+16. MXU pass count is set by padded
+    output tiles, so the widened output is FREE (16 and 32 both pad to 128)
+    — one matmul unit instead of three."""
+    dims = (((1,), (1,)), ((), ()))
+    if not fast:
+        return jax.lax.dot_general(
+            gamma, phi, dims, preferred_element_type=_F32, precision=_HI
+        )
+    ghi = gamma.astype(_BF16)
+    phi_hi, phi_lo = _split_hi_lo(phi)
+    phi_cat = jnp.concatenate([phi_hi, phi_lo], axis=0)  # [32, T]
+    out = jax.lax.dot_general(
+        ghi, phi_cat, dims, preferred_element_type=_F32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [K, 32]
+    return out[:, 0:16] + out[:, 16:32]
+
+
+def _top_k_mask(logits, top_k: int):
+    """Keep each COLUMN's top_k entries (K axis = sublanes): iterative
+    max-remove, ties kept at the threshold (matches em_ref semantics)."""
+    cur = logits
+    kth = None
+    for _ in range(top_k):
+        kth = jnp.max(cur, axis=0, keepdims=True)
+        cur = jnp.where(cur >= kth, NEG_INF, cur)
+    return jnp.where(logits >= kth, logits, NEG_INF)
+
+
+def _softmax_cols_raw(logits, w_row, outlier):
+    """Column softmax over K (K = sublanes), uniform-outlier normalizer,
+    dead-column guard. Returns (e [K,T] = exp(l - m), scale [1,T] = w/s,
+    weighted lse [1,T]). gamma = e * scale, but the scale is NOT applied
+    here: callers fold it into the [16,T]-sized side of their downstream
+    matmul, saving a full K x T VPU pass per sweep."""
+    m_raw = jnp.max(logits, axis=0, keepdims=True)
+    m = jnp.maximum(m_raw, outlier)
+    dead = m <= NEG_INF
+    m_safe = jnp.maximum(m, NEG_INF)
+    e = jnp.exp(logits - m_safe)
+    s = jnp.sum(e, axis=0, keepdims=True) + jnp.exp(outlier - m_safe)
+    scale = jnp.where(dead, 0.0, w_row / s)
+    lse = jnp.where(dead, 0.0, (m_safe + jnp.log(s)) * w_row)
+    return e, scale, lse
+
+
+# ---------------------------------------------------------------------------
+# em_stats kernel (fit E+M fused)
+# ---------------------------------------------------------------------------
+
+def _em_stats_kernel(
+    pts_ref, wt_ref, outlier_ref, out_s_ref, out_ll_ref, *, masked, branch,
+    parent_ref=None,
+):
+    del masked  # encoded by parent_ref presence
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_s_ref[:] = jnp.zeros_like(out_s_ref)
+        out_ll_ref[0, 0] = 0.0
+
+    pts = pts_ref[:]
+    x, y, z, w = pts[0:1], pts[1:2], pts[2:3], pts[3:4]
+    phi = _phi_of(x, y, z)
+    logits = _logits_of(wt_ref[:], phi)
+
+    if parent_ref is not None:
+        k = logits.shape[0]
+        comp = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        par = parent_ref[:]  # [1, T] int32
+        ok = (comp // branch) == par
+        logits = jnp.where(ok, logits, NEG_INF)
+
+    e, scale, lse = _softmax_cols_raw(logits, w, outlier_ref[0, 0])
+    # S += gamma . phi^T == e . (scale * phi)^T — scale folded into the
+    # 16-row side (16/K-th the elementwise work of scaling gamma).
+    s_tile = _stats_dot(e, phi * scale, fast=wt_ref.dtype == _BF16)
+    out_s_ref[:] = out_s_ref[:] + s_tile
+    out_ll_ref[0, 0] += jnp.sum(lse)
+
+
+def _em_stats_call(pts_t, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE):
+    n_pad = pts_t.shape[1]
+    tile = min(tile, n_pad)
+    assert n_pad % tile == 0, (n_pad, tile)
+    k_pad, w_lanes = wt.shape
+    grid = (n_pad // tile,)
+    in_specs = [
+        pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_pad, w_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    args = [pts_t, wt, outlier]
+    kernel = _em_stats_kernel
+    if parent is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(parent)
+
+        def kernel(pts_ref, wt_ref, outlier_ref, parent_ref, out_s, out_ll):
+            _em_stats_kernel(
+                pts_ref, wt_ref, outlier_ref, out_s, out_ll,
+                masked=True, branch=branch, parent_ref=parent_ref,
+            )
+    else:
+        kernel = functools.partial(_em_stats_kernel, masked=False, branch=0)
+
+    flops_tile = 2 * k_pad * 16 * tile * 2 + 8 * k_pad * tile
+    s_out, ll_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((k_pad, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, 16), _F32),
+            jax.ShapeDtypeStruct((1, 1), _F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * grid[0],
+            bytes_accessed=n_pad * 36 + k_pad * 64 * 2,
+            transcendentals=(k_pad + 2) * n_pad,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return s_out, ll_out[0, 0]
+
+
+def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
+    """Pallas twin of em_ref.em_stats. Accepts [N,3] points or a prepared
+    [8, N_pad] buffer from prepare_points."""
+    k = W.shape[1]
+    pts_t = prepare_points(points, point_weights, tile)
+    wt = prepare_mixture(W, precision=precision)
+    out = jnp.full((1, 1), NEG_INF if outlier_logit is None else outlier_logit, _F32)
+    s, ll = _em_stats_call(pts_t, wt, out, tile=tile)
+    return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
+
+
+def em_stats_masked(
+    points, W, parent, branch, point_weights=None, tile=DEFAULT_TILE,
+    precision=DEFAULT_PRECISION,
+):
+    """Pallas twin of em_ref.em_stats_masked (tree-fit child masking)."""
+    k = W.shape[1]
+    pts_t = prepare_points(points, point_weights, tile)
+    n_pad = pts_t.shape[1]
+    par = parent.astype(jnp.int32)
+    par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
+    wt = prepare_mixture(W, precision=precision)
+    out = jnp.full((1, 1), NEG_INF, _F32)
+    s, ll = _em_stats_call(pts_t, wt, out, parent=par, branch=branch, tile=tile)
+    return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
+
+
+# ---------------------------------------------------------------------------
+# assign kernel (hard argmax association)
+# ---------------------------------------------------------------------------
+
+def _assign_kernel(pts_ref, wt_ref, out_ref, *, branch, parent_ref=None):
+    pts = pts_ref[:]
+    phi = _phi_of(pts[0:1], pts[1:2], pts[2:3])
+    logits = _logits_of(wt_ref[:], phi)
+    if parent_ref is not None:
+        comp = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        ok = (comp // branch) == parent_ref[:]
+        logits = jnp.where(ok, logits, NEG_INF)
+    m = jnp.max(logits, axis=0, keepdims=True)
+    comp = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    big = jnp.int32(logits.shape[0])
+    idx = jnp.min(jnp.where(logits >= m, comp, big), axis=0, keepdims=True)
+    out_ref[:] = idx
+
+
+def assign(points, W, parent=None, branch=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
+    """Pallas twin of em_ref.assign."""
+    n = points.shape[0]
+    pts_t = prepare_points(points, None, tile)
+    n_pad = pts_t.shape[1]
+    t = min(tile, n_pad)
+    wt = prepare_mixture(W, precision=precision)
+    k_pad = wt.shape[0]
+    in_specs = [
+        pl.BlockSpec((8, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [pts_t, wt]
+    if parent is not None:
+        par = jnp.pad(
+            parent.astype(jnp.int32), (0, n_pad - parent.shape[0]),
+            constant_values=0,
+        )[None, :]
+        in_specs.append(
+            pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(par)
+
+        def kernel(p, w, par_ref, o):
+            _assign_kernel(p, w, o, branch=branch, parent_ref=par_ref)
+    else:
+        kernel = functools.partial(_assign_kernel, branch=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        interpret=_interpret(),
+    )(*args)
+    return out[0, :n]
+
+
+# ---------------------------------------------------------------------------
+# Registration kernel: pose applied in-kernel, O(1) outputs
+# ---------------------------------------------------------------------------
+
+def _reg_stats_kernel(
+    pts_ref, pose_ref, wt_ref, aux_ref, outlier_ref,
+    out_horn_ref, out_a_ref, out_b_ref, out_ll_ref, *, top_k,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_horn_ref[:] = jnp.zeros_like(out_horn_ref)
+        out_a_ref[:] = jnp.zeros_like(out_a_ref)
+        out_b_ref[:] = jnp.zeros_like(out_b_ref)
+        out_ll_ref[0, 0] = 0.0
+
+    pts = pts_ref[:]
+    x0, x1, x2, w = pts[0:1], pts[1:2], pts[2:3], pts[3:4]
+
+    # Apply pose in-kernel: y = R x + t (pose scalars from SMEM).
+    p = pose_ref
+    y0 = p[0, 0] * x0 + p[0, 1] * x1 + p[0, 2] * x2 + p[0, 9]
+    y1 = p[0, 3] * x0 + p[0, 4] * x1 + p[0, 5] * x2 + p[0, 10]
+    y2 = p[0, 6] * x0 + p[0, 7] * x1 + p[0, 8] * x2 + p[0, 11]
+
+    phi = _phi_of(y0, y1, y2)
+    logits = _logits_of(wt_ref[:], phi)
+    if top_k is not None:
+        logits = _top_k_mask(logits, top_k)
+    e, scale, lse = _softmax_cols_raw(logits, w, outlier_ref[0, 0])
+
+    # One matmul for every per-point mixture reduction, with the softmax
+    # scale applied to the [16,T] RESULT rather than the [K,T] operand:
+    # aux rows 0-2 = mu^T, 3-8 = A6^T (packed precisions), 9-11 = b3^T.
+    # Fast path: aux hi/lo stacked on the output rows ([32,K] @ [K,T] ->
+    # [32,T], summed 16+16), e rounded to a single bf16 (RNE noise averages
+    # out over the K-deep contraction). One matmul unit.
+    if aux_ref.dtype == _BF16:
+        red2 = jnp.dot(
+            aux_ref[:], e.astype(_BF16), preferred_element_type=_F32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [32, T]
+        red = (red2[0:16] + red2[16:32]) * scale  # [16, T]
+    else:
+        red = jnp.dot(
+            aux_ref[:], e, preferred_element_type=_F32, precision=_HI
+        ) * scale  # [16, T]
+    nu0, nu1, nu2 = red[0:1], red[1:2], red[2:3]
+    m00, m11, m22 = red[3:4], red[4:5], red[5:6]
+    m01, m02, m12 = red[6:7], red[7:8], red[8:9]
+    u0, u1, u2 = red[9:10], red[10:11], red[11:12]
+    # sum_j gamma = scale * sum_j e (the outlier term is excluded from the
+    # Gaussian-responsibility mass by reconstructing sum_j e from columns).
+    w_eff = scale * jnp.sum(e, axis=0, keepdims=True)  # [1,T]
+
+    fast = aux_ref.dtype == _BF16
+    dims = (((1,), (1,)), ((), ()))
+    lo_pr = jax.lax.Precision.DEFAULT
+
+    # ---- Horn cross-moments: P [4,T] = [x;1], Q [4,T] = [nu; w_eff].
+    # Fast path: hi/lo splits stacked on BOTH tiny output axes — one [8,T]
+    # x [8,T] bf16 dot whose 4 4x4 blocks are the hi/lo cross terms
+    # (hh + hl + lh ~= full fp32; output padding makes the width free).
+    one = jnp.ones_like(x0)
+    P = jnp.concatenate([x0, x1, x2, one], axis=0)
+    Q = jnp.concatenate([nu0, nu1, nu2, w_eff], axis=0)
+    if fast:
+        p_hi, p_lo = _split_hi_lo(P)
+        q_hi, q_lo = _split_hi_lo(Q)
+        pc = jnp.concatenate([p_hi, p_lo], axis=0)  # [8, T]
+        qc = jnp.concatenate([q_hi, q_lo], axis=0)  # [8, T]
+        o8 = jax.lax.dot_general(pc, qc, dims, preferred_element_type=_F32,
+                                 precision=lo_pr)  # [8, 8]
+        horn = o8[0:4, 0:4] + o8[0:4, 4:8] + o8[4:8, 0:4]
+    else:
+        horn = jax.lax.dot_general(
+            P, Q, dims, preferred_element_type=_F32, precision=_HI
+        )  # [4,4]
+    out_horn_ref[:] = out_horn_ref[:] + jnp.pad(horn, ((0, 4), (0, 124)))
+
+    # ---- Mahalanobis GN. Residual r = M y - u (gamma folded into M,u).
+    r0 = m00 * y0 + m01 * y1 + m02 * y2 - u0
+    r1 = m01 * y0 + m11 * y1 + m12 * y2 - u1
+    r2 = m02 * y0 + m12 * y1 + m22 * y2 - u2
+
+    zero = jnp.zeros_like(x0)
+    # J rows (J = [Omega | I], Omega = -[y]_x):
+    # J[0,:] = (0,  y2, -y1, 1, 0, 0)
+    # J[1,:] = (-y2, 0,  y0, 0, 1, 0)
+    # J[2,:] = (y1, -y0,  0, 0, 0, 1)
+    J0 = jnp.concatenate([zero, y2, -y1, one, zero, zero], axis=0)  # [6,T]
+    J1 = jnp.concatenate([-y2, zero, y0, zero, one, zero], axis=0)
+    J2 = jnp.concatenate([y1, -y0, zero, zero, zero, one], axis=0)
+    # (M J) rows: MJ[i,:] = sum_k M[i,k] J[k,:].
+    MJ0 = m00 * J0 + m01 * J1 + m02 * J2
+    MJ1 = m01 * J0 + m11 * J1 + m12 * J2
+    MJ2 = m02 * J0 + m12 * J1 + m22 * J2
+    # A = sum_i sum_t J_i^T (M J)_i and b = -sum_i J_i^T r_i, one matmul
+    # per residual row i. Fast path: [Jhi;Jlo] [12,T] against
+    # [MJhi;MJlo;rhi;rlo] [14,T] — the output blocks are every hi/lo cross
+    # term of BOTH A and b in a single bf16 dot (output padding is free).
+    if fast:
+        def _row_dot(J, MJ, r):
+            j_hi, j_lo = _split_hi_lo(J)
+            mj_hi, mj_lo = _split_hi_lo(MJ)
+            r_hi, r_lo = _split_hi_lo(r)
+            lhs = jnp.concatenate([j_hi, j_lo], axis=0)  # [12, T]
+            rhs = jnp.concatenate([mj_hi, mj_lo, r_hi, r_lo], axis=0)  # [14, T]
+            o = jax.lax.dot_general(lhs, rhs, dims, preferred_element_type=_F32,
+                                    precision=lo_pr)  # [12, 14]
+            a_i = o[0:6, 0:6] + o[0:6, 6:12] + o[6:12, 0:6]
+            b_i = o[0:6, 12:13] + o[0:6, 13:14] + o[6:12, 12:13]
+            return a_i, b_i
+
+        a0, bb0 = _row_dot(J0, MJ0, r0)
+        a1, bb1 = _row_dot(J1, MJ1, r1)
+        a2, bb2 = _row_dot(J2, MJ2, r2)
+        A = a0 + a1 + a2
+        b = -(bb0 + bb1 + bb2)  # [6,1]
+    else:
+        def _lane_dot(a, bb):
+            return jax.lax.dot_general(
+                a, bb, dims, preferred_element_type=_F32, precision=_HI
+            )
+
+        A = _lane_dot(J0, MJ0) + _lane_dot(J1, MJ1) + _lane_dot(J2, MJ2)
+        # b via a [6,T]x[2,T] matmul (a [1,T] rhs lowers to an unsupported
+        # multi_reduction in Mosaic).
+        def _pad2(r):
+            return jnp.concatenate([r, jnp.zeros_like(r)], axis=0)
+
+        b2 = (_lane_dot(J0, _pad2(r0)) + _lane_dot(J1, _pad2(r1))
+              + _lane_dot(J2, _pad2(r2)))
+        b = -b2[:, 0:1]  # [6,1]
+    out_a_ref[0:6, 0:6] = out_a_ref[0:6, 0:6] + A
+    out_b_ref[0:6, 0:1] = out_b_ref[0:6, 0:1] + b
+    out_ll_ref[0, 0] += jnp.sum(lse)
+
+
+def _prepare_aux(mu, A6, b3, precision: str = DEFAULT_PRECISION):
+    """[K,3] mu, [K,6] A6, [K,3] b3 -> aux [16, K_pad] f32 (strict) or
+    [32, K_pad] bf16 = [aux_hi; aux_lo] sublane-stacked (fast)."""
+    aux = jnp.concatenate([mu, A6, b3], axis=1).T  # [12, K]
+    aux = jnp.pad(aux, ((0, 4), (0, _round_up(aux.shape[1], 8) - aux.shape[1])))
+    if precision == "fast":
+        hi, lo = _split_hi_lo(aux.astype(_F32))
+        aux = jnp.concatenate([hi, lo], axis=0)  # [32, K_pad]
+    return aux
+
+
+def reg_stats(
+    x, W, mu, A6, b3, pose, point_weights=None, top_k=None, outlier_logit=None,
+    tile=DEFAULT_TILE, precision=DEFAULT_PRECISION,
+):
+    """Pallas twin of em_ref.reg_stats. The pose (R, t) is applied IN-KERNEL
+    (SMEM scalars), so the [8, N_pad] source buffer from prepare_points is
+    reused untouched across every iteration of the registration scan."""
+    R, t = pose
+    pts_t = prepare_points(x, point_weights, tile)
+    n_pad = pts_t.shape[1]
+    t_tile = min(tile, n_pad)
+    wt = prepare_mixture(W, precision=precision)
+    k_pad = wt.shape[0]
+    aux = _prepare_aux(mu, A6, b3, precision=precision)
+    if aux.shape[1] != k_pad:
+        aux = jnp.pad(aux, ((0, 0), (0, k_pad - aux.shape[1])))
+    pose_flat = jnp.concatenate([R.reshape(-1), t.reshape(-1), jnp.zeros(4, _F32)])[
+        None, :
+    ].astype(_F32)
+    out = jnp.full((1, 1), NEG_INF if outlier_logit is None else outlier_logit, _F32)
+
+    grid = (n_pad // t_tile,)
+    horn_p, a_p, b_p, ll = pl.pallas_call(
+        functools.partial(_reg_stats_kernel, top_k=top_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, t_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(aux.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 128), _F32),
+            jax.ShapeDtypeStruct((8, 128), _F32),
+            jax.ShapeDtypeStruct((8, 128), _F32),
+            jax.ShapeDtypeStruct((1, 1), _F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * k_pad * 16 * 2 + 2 * 16 * k_pad + 200) * n_pad,
+            bytes_accessed=n_pad * 36 + k_pad * 128,
+            transcendentals=(k_pad + 2) * n_pad,
+        ),
+        interpret=_interpret(),
+    )(pts_t, pose_flat, wt, aux, out)
+    return RegStats(
+        horn=horn_p[0:4, 0:4], A=a_p[0:6, 0:6], b=b_p[0:6, 0], loglik=ll[0, 0]
+    )

@@ -78,22 +78,21 @@ def register_points(
     def step(carry, it):
         R, t, done = carry
         pose = Pose(R, t)
-        y = pose.apply(source)
         stats = ops.reg_stats(
-            source, y, W, mu, A6, b3, point_weights, top_k, outlier_logit
+            source, W, mu, A6, b3, (R, t), point_weights, top_k, outlier_logit
         )
         horn_pose = solve_horn(stats.horn)
 
         def wls_pose():
             p = pose
-            # A few Gauss-Newton inner steps reusing the SAME associations
-            # (standard EM-ICP structure; associations refresh next sweep).
+            # A few Gauss-Newton inner steps, refreshing associations each
+            # time (associations are cheap: same fused kernel).
             xi = solve_wls_increment(stats.A, stats.b)
             p = apply_wls_increment(p, xi)
             for _ in range(wls_inner - 1):
-                y2 = p.apply(source)
                 s2 = ops.reg_stats(
-                    source, y2, W, mu, A6, b3, point_weights, top_k, outlier_logit
+                    source, W, mu, A6, b3, (p.R, p.t), point_weights, top_k,
+                    outlier_logit,
                 )
                 p = apply_wls_increment(p, solve_wls_increment(s2.A, s2.b))
             return p

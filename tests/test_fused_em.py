@@ -1,0 +1,145 @@
+"""Pallas kernel == dense jnp twin equivalence suite (SURVEY.md §5.2:
+"every Pallas kernel ships with a jnp twin, tested against each other").
+
+On CPU these run the kernels in interpret mode; with HGMM_TEST_TPU=1 the
+same assertions run compiled on the real chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hgmm.models.se3 import random_pose
+from hgmm.ops import em_ref, fused_em
+from hgmm.ops.gaussians import MixtureParams, pack_loglik_weights, precision_terms, sym_pack
+
+TILE = 256
+
+
+def _mixture(key, k):
+    k1, k2, k3 = jax.random.split(key, 3)
+    mu = jax.random.normal(k1, (k, 3))
+    a = 0.3 * jax.random.normal(k2, (k, 3, 3))
+    sigma = jnp.einsum("kij,klj->kil", a, a) + 0.05 * jnp.eye(3)
+    pi = jax.nn.softmax(jax.random.normal(k3, (k,)))
+    return MixtureParams(pi, mu, sigma)
+
+
+def _points(key, n=300):
+    return jax.random.normal(key, (n, 3))
+
+
+@pytest.mark.parametrize("k", [12, 64])
+def test_em_stats_equivalence(k):
+    """Fast (hi/lo-bf16) path: gamma is single-rounded bf16, so per-entry
+    stats carry ~2^-9 RNE noise that averages out over points."""
+    params = _mixture(jax.random.PRNGKey(0), k)
+    pts = _points(jax.random.PRNGKey(1))
+    W = pack_loglik_weights(params)
+    ref = em_ref.em_stats(pts, W)
+    got = fused_em.em_stats(pts, W, tile=TILE)
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [12, 64])
+def test_em_stats_equivalence_strict(k):
+    """Strict (fp32 HIGHEST) path matches the dense twin tightly."""
+    params = _mixture(jax.random.PRNGKey(0), k)
+    pts = _points(jax.random.PRNGKey(1))
+    W = pack_loglik_weights(params)
+    ref = em_ref.em_stats(pts, W)
+    got = fused_em.em_stats(pts, W, tile=TILE, precision="strict")
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+
+
+def test_em_stats_weights_and_outlier():
+    params = _mixture(jax.random.PRNGKey(2), 16)
+    pts = _points(jax.random.PRNGKey(3), 200)
+    w = jax.random.uniform(jax.random.PRNGKey(4), (200,))
+    W = pack_loglik_weights(params)
+    ref = em_ref.em_stats(pts, W, w, outlier_logit=-3.0)
+    got = fused_em.em_stats(pts, W, w, outlier_logit=-3.0, tile=TILE)
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+
+
+def test_em_stats_masked_equivalence():
+    params = _mixture(jax.random.PRNGKey(5), 32)  # 4 parents x 8 children
+    pts = _points(jax.random.PRNGKey(6), 300)
+    parent = jax.random.randint(jax.random.PRNGKey(7), (300,), 0, 4)
+    W = pack_loglik_weights(params)
+    ref = em_ref.em_stats_masked(pts, W, parent, 8)
+    got = fused_em.em_stats_masked(pts, W, parent, 8, tile=TILE)
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+
+
+def test_assign_equivalence():
+    params = _mixture(jax.random.PRNGKey(8), 24)
+    pts = _points(jax.random.PRNGKey(9), 300)
+    W = pack_loglik_weights(params)
+    np.testing.assert_array_equal(
+        fused_em.assign(pts, W, tile=TILE), em_ref.assign(pts, W)
+    )
+    parent = jax.random.randint(jax.random.PRNGKey(10), (300,), 0, 3)
+    np.testing.assert_array_equal(
+        fused_em.assign(pts, W, parent, 8, tile=TILE),
+        em_ref.assign(pts, W, parent, 8),
+    )
+
+
+@pytest.mark.parametrize("top_k,outlier", [(None, None), (4, None), (None, -2.0)])
+def test_reg_stats_equivalence(top_k, outlier):
+    params = _mixture(jax.random.PRNGKey(11), 16)
+    pts = _points(jax.random.PRNGKey(12), 300)
+    pose = random_pose(jax.random.PRNGKey(13))
+    W = pack_loglik_weights(params)
+    A, b, _ = precision_terms(params)
+    A6 = sym_pack(A)
+    ref = em_ref.reg_stats(
+        pts, W, params.mu, A6, b, (pose.R, pose.t), top_k=top_k,
+        outlier_logit=outlier,
+    )
+    got = fused_em.reg_stats(
+        pts, W, params.mu, A6, b, (pose.R, pose.t), top_k=top_k,
+        outlier_logit=outlier, tile=TILE,
+    )
+    np.testing.assert_allclose(got.horn, ref.horn, rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(got.A, ref.A, rtol=1e-2, atol=2e-1)
+    np.testing.assert_allclose(got.b, ref.b, rtol=1e-2, atol=2e-1)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+
+
+def test_reg_stats_point_weights():
+    params = _mixture(jax.random.PRNGKey(14), 8)
+    pts = _points(jax.random.PRNGKey(15), 200)
+    w = (jax.random.uniform(jax.random.PRNGKey(16), (200,)) > 0.3).astype(jnp.float32)
+    pose = random_pose(jax.random.PRNGKey(17))
+    W = pack_loglik_weights(params)
+    A, b, _ = precision_terms(params)
+    ref = em_ref.reg_stats(pts, W, params.mu, sym_pack(A), b, (pose.R, pose.t), w)
+    got = fused_em.reg_stats(
+        pts, W, params.mu, sym_pack(A), b, (pose.R, pose.t), w, tile=TILE
+    )
+    np.testing.assert_allclose(got.horn, ref.horn, rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(got.A, ref.A, rtol=1e-2, atol=2e-1)
+    np.testing.assert_allclose(got.b, ref.b, rtol=1e-2, atol=2e-1)
+
+
+def test_reg_stats_equivalence_strict():
+    params = _mixture(jax.random.PRNGKey(21), 16)
+    pts = _points(jax.random.PRNGKey(22), 300)
+    pose = random_pose(jax.random.PRNGKey(23))
+    W = pack_loglik_weights(params)
+    A, b, _ = precision_terms(params)
+    ref = em_ref.reg_stats(pts, W, params.mu, sym_pack(A), b, (pose.R, pose.t))
+    got = fused_em.reg_stats(
+        pts, W, params.mu, sym_pack(A), b, (pose.R, pose.t),
+        precision="strict", tile=TILE,
+    )
+    np.testing.assert_allclose(got.horn, ref.horn, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got.A, ref.A, rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(got.b, ref.b, rtol=2e-3, atol=2e-2)
