@@ -1,0 +1,301 @@
+"""Sharded EM + registration over a device mesh (BASELINE.json config 5).
+
+Points are sharded along the mesh "points" axis; every E-step reduces to
+O(K) sufficient statistics (or O(1) pose statistics) that are psum'd over
+ICI/DCN — the ONLY cross-device traffic in the engine (SURVEY.md §4.2).
+Mixture parameters, poses and M-step updates are replicated: they are
+KB-scale, so replication is the correct sharding (SURVEY.md §2.2).
+
+Everything here runs identically on a fake CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) and on a real pod
+slice after parallel.mesh.initialize_multihost() — the same program, the
+standard JAX multi-host story (SURVEY.md §5.2 "Distributed without a
+cluster").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hgmm import ops
+from hgmm.models.gmm import init_params
+from hgmm.models.gmm_tree import seed_children
+from hgmm.models.pose import apply_wls_increment, solve_horn, solve_wls_increment
+from hgmm.models.se3 import Pose, se3_log
+from hgmm.ops.gaussians import (
+    MixtureParams,
+    mstep_update,
+    pack_loglik_weights,
+    precision_terms,
+    sym_pack,
+)
+from hgmm.parallel.mesh import POINTS_AXIS, make_mesh
+
+_AXIS = POINTS_AXIS
+
+
+def pad_points_for_mesh(points, mesh: Mesh, tile: int = 1):
+    """Pad [N, 3] so N divides n_devices * tile; returns (points, weights)
+    with zero weight on padding rows."""
+    n = points.shape[0]
+    mult = mesh.devices.size * tile
+    n_pad = -(-n // mult) * mult
+    w = jnp.ones((n,), points.dtype)
+    if n_pad != n:
+        points = jnp.concatenate(
+            [points, jnp.zeros((n_pad - n, 3), points.dtype)]
+        )
+        w = jnp.concatenate([w, jnp.zeros((n_pad - n,), points.dtype)])
+    return points, w
+
+
+def _psum_tree(tree):
+    return jax.tree.map(lambda x: jax.lax.psum(x, _AXIS), tree)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
+    """Compiled sharded EM loop for a given mesh (cached per mesh/config)."""
+
+    @jax.jit
+    def run(points, weights, init: MixtureParams, total, cov_reg):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None)),
+            out_specs=(P(None, None), P()),
+        )
+        def stats_fn(pts, w, W):
+            st = ops.em_stats(pts, W, w)
+            st = _psum_tree(st)
+            return st.S, st.loglik
+
+        def step(params, _):
+            W = pack_loglik_weights(params)
+            S, ll = stats_fn(points, weights, W)
+            T0, T1, T2 = ops.unpack_suffstats(S)
+            new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
+            return new, ll
+
+        return jax.lax.scan(step, init, None, length=n_iters)
+
+    return run
+
+
+def sharded_em_fit(
+    points,
+    init: MixtureParams,
+    mesh: Mesh | None = None,
+    n_iters: int = 30,
+    cov_reg: float = 1e-6,
+    cov_type: str = "full",
+    point_weights=None,
+):
+    """Distributed twin of hgmm.models.gmm.em_fit: identical math, stats
+    psum'd over the mesh. Returns (params, loglik_history)."""
+    if mesh is None:
+        mesh = make_mesh()
+    if point_weights is None:
+        points, point_weights = pad_points_for_mesh(points, mesh)
+    total = jnp.sum(point_weights)
+    run = _sharded_em_step(mesh, n_iters, cov_type)
+    return run(points, point_weights, init, total, cov_reg)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
+    @jax.jit
+    def run(points, weights, parent, children: MixtureParams, total, cov_reg):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(_AXIS, None), P(_AXIS), P(_AXIS), P(None, None)),
+            out_specs=(P(None, None), P()),
+        )
+        def stats_fn(pts, w, par, W):
+            st = ops.em_stats_masked(pts, W, par, branch, w)
+            st = _psum_tree(st)
+            return st.S, st.loglik
+
+        def step(params, _):
+            W = pack_loglik_weights(params)
+            S, ll = stats_fn(points, weights, parent, W)
+            T0, T1, T2 = ops.unpack_suffstats(S)
+            new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
+            return new, ll
+
+        params, lls = jax.lax.scan(step, children, None, length=em_iters)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None)),
+            out_specs=P(_AXIS),
+        )
+        def assign_fn(pts, par, W):
+            return ops.assign(pts, W, par, branch)
+
+        new_parent = assign_fn(points, parent, pack_loglik_weights(params))
+        return params, lls, new_parent
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _assign0_fn(mesh):
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(_AXIS, None), P(None, None)), out_specs=P(_AXIS),
+    )
+    def f(pts, W):
+        return ops.assign(pts, W)
+
+    return f
+
+
+def sharded_tree_fit(
+    points,
+    mesh: Mesh | None = None,
+    branch: int = 8,
+    levels: int = 3,
+    em_iters: int = 12,
+    key=None,
+    cov_reg: float = 1e-6,
+    cov_type: str = "full",
+):
+    """Distributed level-synchronous GMM-tree build (config 5 + config 2).
+
+    Level 0 fits with sharded flat EM; deeper levels run the masked child
+    EM with per-point parents sharded alongside the points. Returns a
+    GmmTree-compatible tuple of per-level MixtureParams."""
+    from hgmm.models.gmm_tree import GmmTree
+
+    if mesh is None:
+        mesh = make_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    init0 = init_params(points, branch, key)  # before padding: real points only
+    points, weights = pad_points_for_mesh(points, mesh)
+    total = jnp.sum(weights)
+
+    params0, _ = sharded_em_fit(
+        points, init0, mesh, n_iters=em_iters, cov_reg=cov_reg,
+        cov_type=cov_type, point_weights=weights,
+    )
+    parent = _assign0_fn(mesh)(points, pack_loglik_weights(params0))
+    level_params = [params0]
+    run_level = _sharded_tree_level(mesh, branch, em_iters, cov_type)
+    for _ in range(1, levels):
+        children = seed_children(level_params[-1], branch)
+        params_l, _, parent = run_level(
+            points, weights, parent, children, total, cov_reg
+        )
+        level_params.append(params_l)
+    return GmmTree(levels=tuple(level_params), branch=branch)
+
+
+class ShardedRegResult(NamedTuple):
+    pose: Pose
+    logliks: jax.Array
+    deltas: jax.Array
+    converged: jax.Array
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: int):
+    n_horn = n_iters // 2 if method == "horn+wls" else (n_iters if method == "horn" else 0)
+
+    @jax.jit
+    def run(source, weights, params: MixtureParams, R0, t0, tol, outlier):
+        W = pack_loglik_weights(params)
+        A_, b_, _ = precision_terms(params)
+        A6, b3 = sym_pack(A_), b_
+        mu = params.mu
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None), P(None, None),
+                      P(None, None), P(None, None), P(None, None), P(None), P()),
+            out_specs=(P(None, None), P(None, None), P(None), P()),
+        )
+        def stats_fn(x, w, Wm, mu_m, A6_m, b3_m, R, t, out_l):
+            st = ops.reg_stats(
+                x, Wm, mu_m, A6_m, b3_m, (R, t), w, top_k, out_l
+            )
+            st = _psum_tree(st)
+            return st.horn, st.A, st.b, st.loglik
+
+        def step(carry, it):
+            R, t, done = carry
+            pose = Pose(R, t)
+            horn, A, b, ll = stats_fn(source, weights, W, mu, A6, b3, R, t, outlier)
+            horn_pose = solve_horn(horn)
+
+            def wls_pose():
+                p = pose
+                p = apply_wls_increment(p, solve_wls_increment(A, b))
+                for _ in range(wls_inner - 1):
+                    _, A2, b2, _ = stats_fn(
+                        source, weights, W, mu, A6, b3, p.R, p.t, outlier
+                    )
+                    p = apply_wls_increment(p, solve_wls_increment(A2, b2))
+                return p
+
+            if method == "horn":
+                new_pose = horn_pose
+            elif method == "wls":
+                new_pose = wls_pose()
+            else:
+                use_horn = it < n_horn
+                wp = wls_pose()
+                new_pose = Pose(
+                    jnp.where(use_horn, horn_pose.R, wp.R),
+                    jnp.where(use_horn, horn_pose.t, wp.t),
+                )
+            delta = jnp.linalg.norm(se3_log(new_pose.compose(pose.inverse())))
+            new_done = done | (delta < tol)
+            R_out = jnp.where(done, R, new_pose.R)
+            t_out = jnp.where(done, t, new_pose.t)
+            return (R_out, t_out, new_done), (ll, jnp.where(done, 0.0, delta))
+
+        carry0 = (R0, t0, jnp.zeros((), bool))
+        (R, t, done), (lls, deltas) = jax.lax.scan(
+            step, carry0, jnp.arange(n_iters)
+        )
+        return R, t, done, lls, deltas
+
+    return run
+
+
+def sharded_register_points(
+    source,
+    params: MixtureParams,
+    mesh: Mesh | None = None,
+    init_pose: Pose | None = None,
+    n_iters: int = 50,
+    method: str = "horn+wls",
+    tol: float = 1e-7,
+    top_k: int | None = None,
+    outlier_logit: float | None = None,
+    wls_inner: int = 2,
+) -> ShardedRegResult:
+    """Distributed twin of pipelines.register.register_points."""
+    if mesh is None:
+        mesh = make_mesh()
+    if init_pose is None:
+        init_pose = Pose.identity(source.dtype)
+    source, weights = pad_points_for_mesh(source, mesh)
+    outlier = jnp.float32(-1e30 if outlier_logit is None else outlier_logit)
+    run = _sharded_register(mesh, n_iters, method, top_k, wls_inner)
+    R, t, done, lls, deltas = run(
+        source, weights, params, init_pose.R, init_pose.t, jnp.float32(tol),
+        outlier,
+    )
+    return ShardedRegResult(Pose(R, t), lls, deltas, done)
