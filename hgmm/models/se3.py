@@ -76,13 +76,24 @@ def so3_exp(omega: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Inverse of so3_exp. Valid for theta < pi (registration increments)."""
-    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    """Inverse of so3_exp. Valid for theta well below pi (registration and
+    pose-graph increments).
+
+    atan2-based and autodiff-safe at the identity: pose-graph Gauss-Newton
+    differentiates this exactly where residuals vanish, and the naive
+    arccos form has an infinite derivative there (the double-where guard
+    keeps the unselected branch finite under jacfwd)."""
     w = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    theta2 = theta * theta
-    scale = jnp.where(theta2 < 1e-8, 0.5 + theta2 / 12.0, theta / (2.0 * jnp.sin(theta) + 1e-32))
-    return scale * w
+    w2 = jnp.sum(w * w)  # = 4 sin^2(theta)
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)  # cos(theta)
+    small = w2 < 1e-12
+    w2_safe = jnp.where(small, 1.0, w2)
+    s = 0.5 * jnp.sqrt(w2_safe)  # sin(theta), safe under grad
+    theta = jnp.arctan2(s, c)
+    scale_large = theta / (2.0 * s)
+    # Small angle: theta^2 ~ w2/4, scale = 1/2 + theta^2/12 = 1/2 + w2/48.
+    scale_small = 0.5 + w2 / 48.0
+    return jnp.where(small, scale_small, scale_large) * w
 
 
 def se3_exp(xi: jax.Array) -> Pose:

@@ -1,0 +1,170 @@
+"""Frame-to-frame LiDAR odometry via hierarchical-GMM registration
+(BASELINE.json config 4: "KITTI LiDAR scan-pair sequence").
+
+Host loop over frames; all device work happens in shape-stable jitted
+functions (fixed point bucket per run -> one compile, SURVEY.md §8 "pad N
+to bucket sizes"). Warm starts: each pair is initialized with the previous
+relative pose (constant-velocity model). Resumable at frame granularity
+via hgmm.utils.checkpoint (SURVEY.md §6.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgmm.models.gmm import Gmm
+from hgmm.models.gmm_tree import GmmTree
+from hgmm.models.se3 import Pose
+from hgmm.pipelines.pose_graph import (
+    PoseGraphResult,
+    odometry_chain_edges,
+    refine_pose_graph,
+)
+from hgmm.pipelines.register import register_points
+from hgmm.utils import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class OdometryConfig:
+    model_kind: str = "tree"  # "tree" | "flat"
+    k: int = 64  # flat mixture size
+    branch: int = 8
+    levels: int = 3
+    fit_iters: int = 10
+    reg_iters: int = 30
+    method: str = "horn+wls"
+    top_k: int | None = None
+    outlier_logit: float | None = 0.0
+    complexity_threshold: float = 0.0
+    voxel: float | None = None  # host-side voxel downsample (meters)
+    bucket: int = 16384  # fixed per-frame point budget (pad/subsample)
+    warm_start: bool = True
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class OdometryResult:
+    abs_poses: list[Pose]  # [F] absolute poses (frame 0 = identity)
+    rel_poses: list[Pose]  # [F-1] frame k -> k+1
+    logliks: list[float]  # final registration loglik per pair
+
+
+def _bucketize(points: np.ndarray, bucket: int, rng: np.random.Generator):
+    """Pad or subsample to exactly `bucket` points; returns (pts, weights)."""
+    n = points.shape[0]
+    if n >= bucket:
+        idx = rng.choice(n, size=bucket, replace=False)
+        return points[idx].astype(np.float32), np.ones(bucket, np.float32)
+    pad = np.zeros((bucket - n, 3), np.float32)
+    w = np.concatenate([np.ones(n, np.float32), np.zeros(bucket - n, np.float32)])
+    return np.concatenate([points.astype(np.float32), pad]), w
+
+
+def _fit_model(points, weights, cfg: OdometryConfig, key):
+    if cfg.model_kind == "flat":
+        gmm, _ = Gmm.fit(points, k=cfg.k, n_iters=cfg.fit_iters, key=key)
+        return gmm.params
+    tree, _ = GmmTree.fit(
+        points,
+        branch=cfg.branch,
+        levels=cfg.levels,
+        em_iters=cfg.fit_iters,
+        key=key,
+        point_weights=weights,
+    )
+    return tree.cut_mixture(cfg.complexity_threshold)
+
+
+def run_odometry(
+    scans: Sequence[np.ndarray] | Iterable[np.ndarray],
+    config: OdometryConfig | None = None,
+    checkpoint_path: str | Path | None = None,
+    checkpoint_every: int = 10,
+) -> OdometryResult:
+    """Sequential scan-to-scan registration. `scans` yields [N_i, 3] arrays
+    (use hgmm.data.kitti loaders for real sequences)."""
+    cfg = config or OdometryConfig()
+    from hgmm.data.kitti import voxel_downsample
+
+    rng = np.random.default_rng(cfg.seed)
+    frames = []
+    for s in scans:
+        s = np.asarray(s)
+        if cfg.voxel:
+            s = voxel_downsample(s, cfg.voxel)
+        frames.append(_bucketize(s, cfg.bucket, rng))
+    f = len(frames)
+    assert f >= 2, "need at least two scans"
+
+    start = 0
+    rel_poses: list[Pose] = []
+    abs_poses: list[Pose] = [Pose.identity()]
+    logliks: list[float] = []
+    if checkpoint_path is not None:
+        state = ckpt.load_odometry(checkpoint_path)
+        if state is not None:
+            start, rel_poses, abs_poses = state
+            logliks = [float("nan")] * len(rel_poses)
+
+    base_key = jax.random.PRNGKey(cfg.seed)
+    prev_rel = Pose.identity()
+    if rel_poses:
+        prev_rel = rel_poses[-1]
+    for i in range(start, f - 1):
+        tgt_pts, tgt_w = frames[i]
+        src_pts, src_w = frames[i + 1]
+        # fold_in (not sequential split): resumed runs must see the same
+        # per-pair key regardless of the start frame.
+        kf = jax.random.fold_in(base_key, i)
+        params = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, kf)
+        init = prev_rel if cfg.warm_start else Pose.identity()
+        res = register_points(
+            jnp.asarray(src_pts),
+            params,
+            init_pose=init,
+            n_iters=cfg.reg_iters,
+            method=cfg.method,
+            top_k=cfg.top_k,
+            outlier_logit=cfg.outlier_logit,
+            point_weights=jnp.asarray(src_w),
+        )
+        # res.pose maps source (frame i+1) points into frame i: that IS the
+        # pose of frame i+1 expressed in frame i.
+        rel = res.pose
+        rel_poses.append(rel)
+        abs_poses.append(abs_poses[-1].compose(rel))
+        logliks.append(float(res.logliks[-1]))
+        prev_rel = rel
+        if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            ckpt.save_odometry(checkpoint_path, i + 1, rel_poses, abs_poses)
+
+    if checkpoint_path is not None:
+        ckpt.save_odometry(checkpoint_path, f - 1, rel_poses, abs_poses)
+    return OdometryResult(abs_poses=abs_poses, rel_poses=rel_poses, logliks=logliks)
+
+
+def refine_odometry(
+    result: OdometryResult,
+    loop_closures=None,
+    n_iters: int = 10,
+) -> PoseGraphResult:
+    """Pose-graph refinement of an odometry run (SURVEY.md §3.6).
+    loop_closures: optional EdgeList to append to the chain."""
+    edges = odometry_chain_edges(result.rel_poses)
+    if loop_closures is not None:
+        edges = type(edges)(
+            i=jnp.concatenate([edges.i, loop_closures.i]),
+            j=jnp.concatenate([edges.j, loop_closures.j]),
+            R=jnp.concatenate([edges.R, loop_closures.R]),
+            t=jnp.concatenate([edges.t, loop_closures.t]),
+            weight=jnp.concatenate([edges.weight, loop_closures.weight]),
+        )
+    R = jnp.stack([p.R for p in result.abs_poses])
+    t = jnp.stack([p.t for p in result.abs_poses])
+    return refine_pose_graph(R, t, edges, n_iters=n_iters)
