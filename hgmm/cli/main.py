@@ -1,0 +1,187 @@
+"""hgmm command-line interface (SURVEY.md §1.2: fit-gmm / register /
+odometry / bench / icp commands — the TPU-native equivalent of the
+reference's main.cpp argv driver, SURVEY.md §2.1 item 1)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cloud(path: str) -> np.ndarray:
+    p = Path(path)
+    if p.suffix == ".ply":
+        from hgmm.data.ply import load_ply
+
+        return load_ply(p)
+    if p.suffix == ".bin":
+        from hgmm.data.kitti import load_velodyne_bin
+
+        return load_velodyne_bin(p)
+    if p.suffix in (".npy",):
+        return np.load(p)
+    raise SystemExit(f"unsupported cloud format: {p.suffix}")
+
+
+def cmd_fit_gmm(args) -> None:
+    import jax.numpy as jnp
+
+    from hgmm.models.gmm import Gmm
+    from hgmm.models.gmm_tree import GmmTree
+    from hgmm.utils import checkpoint as ckpt
+
+    pts = jnp.asarray(_load_cloud(args.cloud))
+    t0 = time.perf_counter()
+    if args.tree:
+        tree, lls = GmmTree.fit(
+            pts, branch=args.branch, levels=args.levels, em_iters=args.iters
+        )
+        ckpt.save_tree(args.out, tree)
+        print(f"tree fit: {tree.n_leaves} leaves, loglik/level={np.asarray(lls)}")
+    else:
+        gmm, lls = Gmm.fit(pts, k=args.k, n_iters=args.iters)
+        ckpt.save_mixture(args.out, gmm.params)
+        print(f"gmm fit: K={args.k}, final loglik={float(lls[-1]):.2f}")
+    print(f"({time.perf_counter() - t0:.2f}s) saved -> {args.out}")
+
+
+def cmd_register(args) -> None:
+    import jax.numpy as jnp
+
+    from hgmm.configs.presets import PRESETS
+    from hgmm.pipelines.register import register_pair
+
+    preset = PRESETS[args.preset]
+    source = jnp.asarray(_load_cloud(args.source))
+    target = jnp.asarray(_load_cloud(args.target))
+    t0 = time.perf_counter()
+    res = register_pair(
+        source,
+        target=target,
+        model_kind=preset.model_kind,
+        k=preset.k,
+        branch=preset.branch,
+        levels=preset.levels,
+        fit_iters=preset.fit_iters,
+        complexity_threshold=preset.complexity_threshold,
+        n_iters=preset.reg_iters,
+        method=preset.method,
+        top_k=preset.top_k,
+        outlier_logit=preset.outlier_logit,
+    )
+    dt = time.perf_counter() - t0
+    T = np.asarray(res.pose.matrix())
+    print(f"converged={bool(res.converged)} in {dt:.2f}s; transform:")
+    print(T)
+    if args.out:
+        np.save(args.out, T)
+        print(f"saved -> {args.out}")
+    if args.export_aligned:
+        from hgmm.viz.export import export_alignment
+
+        export_alignment(args.export_aligned, source, target, res.pose)
+        print(f"aligned clouds -> {args.export_aligned}")
+
+
+def cmd_odometry(args) -> None:
+    from hgmm.data.kitti import sequence_scan_paths, load_velodyne_bin
+    from hgmm.pipelines.odometry import OdometryConfig, refine_odometry, run_odometry
+
+    paths = sequence_scan_paths(args.sequence)
+    if args.max_frames:
+        paths = paths[: args.max_frames]
+    scans = (load_velodyne_bin(p) for p in paths)
+    cfg = OdometryConfig(
+        model_kind="tree" if args.tree else "flat",
+        voxel=args.voxel,
+        bucket=args.bucket,
+        fit_iters=args.fit_iters,
+        reg_iters=args.reg_iters,
+    )
+    res = run_odometry(
+        scans, cfg, checkpoint_path=args.checkpoint, checkpoint_every=10
+    )
+    if args.refine:
+        refined = refine_odometry(res)
+        traj = np.asarray(refined.t)
+    else:
+        traj = np.stack([np.asarray(p.t) for p in res.abs_poses])
+    out = args.out or "trajectory.npy"
+    np.save(out, traj)
+    print(f"{len(res.abs_poses)} poses -> {out}")
+
+
+def cmd_icp(args) -> None:
+    import jax.numpy as jnp
+
+    from hgmm.baselines.icp import icp
+
+    source = jnp.asarray(_load_cloud(args.source))
+    target = jnp.asarray(_load_cloud(args.target))
+    res = icp(source, target, n_iters=args.iters)
+    print(np.asarray(res.pose.matrix()))
+    print(f"final match rmse: {float(res.rmse_history[-1]):.6f}")
+
+
+def cmd_bench(args) -> None:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(Path(__file__).resolve().parents[2] / "bench.py"), run_name="__main__")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="hgmm", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fit-gmm", help="fit a flat GMM or GMM-tree to a cloud")
+    f.add_argument("cloud")
+    f.add_argument("--out", default="mixture.npz")
+    f.add_argument("--tree", action="store_true")
+    f.add_argument("--k", type=int, default=64)
+    f.add_argument("--branch", type=int, default=8)
+    f.add_argument("--levels", type=int, default=3)
+    f.add_argument("--iters", type=int, default=20)
+    f.set_defaults(fn=cmd_fit_gmm)
+
+    r = sub.add_parser("register", help="register source cloud onto target")
+    r.add_argument("source")
+    r.add_argument("target")
+    r.add_argument("--preset", default="config2_tree_8x3")
+    r.add_argument("--out", default=None)
+    r.add_argument("--export-aligned", default=None)
+    r.set_defaults(fn=cmd_register)
+
+    o = sub.add_parser("odometry", help="KITTI sequence odometry")
+    o.add_argument("sequence", help="KITTI sequence dir (with velodyne/)")
+    o.add_argument("--max-frames", type=int, default=None)
+    o.add_argument("--tree", action="store_true", default=True)
+    o.add_argument("--voxel", type=float, default=0.3)
+    o.add_argument("--bucket", type=int, default=16384)
+    o.add_argument("--fit-iters", type=int, default=10)
+    o.add_argument("--reg-iters", type=int, default=30)
+    o.add_argument("--checkpoint", default=None)
+    o.add_argument("--refine", action="store_true")
+    o.add_argument("--out", default=None)
+    o.set_defaults(fn=cmd_odometry)
+
+    i = sub.add_parser("icp", help="ICP baseline registration")
+    i.add_argument("source")
+    i.add_argument("target")
+    i.add_argument("--iters", type=int, default=30)
+    i.set_defaults(fn=cmd_icp)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

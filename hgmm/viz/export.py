@@ -1,0 +1,65 @@
+"""Alignment visualization export (SURVEY.md §2.1 item 3: the reference's
+OpenGL viewer maps to offline exports — colored PLY pairs any viewer opens,
+optional matplotlib snapshot; deliberately not a render loop)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def export_alignment(path, source, target, pose, snapshot: bool = False) -> None:
+    """Write a colored PLY: target gray, transformed source red."""
+    source = np.asarray(source)
+    target = np.asarray(target)
+    aligned = source @ np.asarray(pose.R).T + np.asarray(pose.t)
+    pts = np.concatenate([target, aligned]).astype(np.float32)
+    col = np.concatenate(
+        [
+            np.tile(np.array([[180, 180, 180]], np.uint8), (len(target), 1)),
+            np.tile(np.array([[220, 40, 40]], np.uint8), (len(aligned), 1)),
+        ]
+    )
+    _save_colored_ply(path, pts, col)
+    if snapshot:
+        save_snapshot(str(Path(path).with_suffix(".png")), target, aligned)
+
+
+def _save_colored_ply(path, points: np.ndarray, colors: np.ndarray) -> None:
+    n = points.shape[0]
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    rec = np.zeros(
+        n,
+        dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+               ("r", "u1"), ("g", "u1"), ("b", "u1")],
+    )
+    rec["x"], rec["y"], rec["z"] = points.T
+    rec["r"], rec["g"], rec["b"] = colors.T
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def save_snapshot(path, target, aligned) -> None:
+    """Matplotlib 3D scatter snapshot (best-effort; skipped if unavailable)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(*np.asarray(target).T, s=1, c="gray", alpha=0.5, label="target")
+    ax.scatter(*np.asarray(aligned).T, s=1, c="red", alpha=0.5, label="aligned")
+    ax.legend()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
