@@ -86,9 +86,14 @@ def run_odometry(
     config: OdometryConfig | None = None,
     checkpoint_path: str | Path | None = None,
     checkpoint_every: int = 10,
+    mesh=None,
 ) -> OdometryResult:
     """Sequential scan-to-scan registration. `scans` yields [N_i, 3] arrays
-    (use hgmm.data.kitti loaders for real sequences)."""
+    (use hgmm.data.kitti loaders for real sequences).
+
+    mesh: optional jax.sharding.Mesh — per-frame fits and registrations run
+    points-sharded over it (config 5 of BASELINE.json: multi-host frames).
+    """
     cfg = config or OdometryConfig()
     from hgmm.data.kitti import voxel_downsample
 
@@ -122,18 +127,35 @@ def run_odometry(
         # fold_in (not sequential split): resumed runs must see the same
         # per-pair key regardless of the start frame.
         kf = jax.random.fold_in(base_key, i)
-        params = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, kf)
         init = prev_rel if cfg.warm_start else Pose.identity()
-        res = register_points(
-            jnp.asarray(src_pts),
-            params,
-            init_pose=init,
-            n_iters=cfg.reg_iters,
-            method=cfg.method,
-            top_k=cfg.top_k,
-            outlier_logit=cfg.outlier_logit,
-            point_weights=jnp.asarray(src_w),
-        )
+        if mesh is not None:
+            from hgmm.parallel.sharded import (
+                sharded_register_points,
+                sharded_tree_fit,
+            )
+
+            tree = sharded_tree_fit(
+                jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
+                levels=cfg.levels, em_iters=cfg.fit_iters, key=kf,
+            )
+            params = tree.cut_mixture(cfg.complexity_threshold)
+            res = sharded_register_points(
+                jnp.asarray(src_pts), params, mesh, init_pose=init,
+                n_iters=cfg.reg_iters, method=cfg.method, top_k=cfg.top_k,
+                outlier_logit=cfg.outlier_logit,
+            )
+        else:
+            params = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, kf)
+            res = register_points(
+                jnp.asarray(src_pts),
+                params,
+                init_pose=init,
+                n_iters=cfg.reg_iters,
+                method=cfg.method,
+                top_k=cfg.top_k,
+                outlier_logit=cfg.outlier_logit,
+                point_weights=jnp.asarray(src_w),
+            )
         # res.pose maps source (frame i+1) points into frame i: that IS the
         # pose of frame i+1 expressed in frame i.
         rel = res.pose
