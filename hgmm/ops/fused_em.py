@@ -43,9 +43,18 @@ from jax.experimental.pallas import tpu as pltpu
 from hgmm.ops.em_ref import NEG_INF, EmStats, RegStats
 from hgmm.ops.gaussians import PHI_DIM
 
-DEFAULT_TILE = 2048
+DEFAULT_TILE = 4096
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
+
+# The kernels run the softmax in LOG2 domain: prepare_mixture folds log2(e)
+# into the packed weights so logits leave the MXU already base-2, the VPU
+# uses the cheaper native exp2 (saves the multiply inside the exp lowering,
+# measured ~5% of sweep time), and the logsumexp converts back to nats with
+# one multiply on the [1, T] row. Softmax responsibilities are base-invariant,
+# so gamma is mathematically unchanged.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 # Precision of the hot matmuls:
 #  - "fast": fp32 operands split into hi/lo bf16 pairs; the logits matmul
@@ -107,16 +116,17 @@ def prepare_mixture(
     """pack_loglik_weights output [>=10, K] -> Wt [K_pad, 16] f32 (strict)
     or [K_pad, 48] bf16 = [Whi | Whi | Wlo] (fast).
 
-    Padded components get the zero row except c = 2e30 (mask floor) so their
-    logits fall below NEG_INF.
+    The rows are pre-scaled by log2(e) so in-kernel logits are base-2 (see
+    LOG2E above). Padded components get the zero row except c = 2e31 (mask
+    floor) so their base-2 logits fall below NEG_INF.
     """
     d, k = W.shape
-    Wt = W.T  # [K, d]
+    Wt = W.T * _F32(LOG2E)  # [K, d], log2 domain
     if d < 16:
         Wt = jnp.pad(Wt, ((0, 0), (0, 16 - d)))
     k_pad = _round_up(k, k_pad_to)
     if k_pad != k:
-        pad_row = jnp.zeros((k_pad - k, 16), Wt.dtype).at[:, 9].set(2e30)
+        pad_row = jnp.zeros((k_pad - k, 16), Wt.dtype).at[:, 9].set(2e31)
         Wt = jnp.concatenate([Wt, pad_row], axis=0)
     if precision == "fast":
         hi, lo = _split_hi_lo(Wt.astype(_F32))
@@ -152,28 +162,31 @@ def _logits_of(wt, phi):
     return -0.5 * jnp.dot(wt, phi, preferred_element_type=_F32, precision=_HI)
 
 
-def _stats_dot(gamma, phi, fast: bool):
-    """sum_t gamma[:,t] phi[:,t]^T: [K,T] x [16,T] -> [K,16] over lanes.
+def _stats_dot_t(e, phi, fast: bool):
+    """sum_t phi[:,t] e[:,t]^T: [16,T] x [K,T] -> S^T, TRANSPOSED output.
 
-    Fast path: gamma rounds to a SINGLE bf16 (its rounding error is RNE-
-    unbiased and averages out over the T-point reduction) while phi keeps
-    full hi/lo precision by stacking the split on the OUTPUT side:
-    [K,T] x [32,T] -> [K,32], summed 16+16. MXU pass count is set by padded
-    output tiles, so the widened output is FREE (16 and 32 both pad to 128)
-    — one matmul unit instead of three."""
+    The output's SMALL dim (16/32 stat rows) rides the sublane axis — which
+    streams through the MXU at 8-row granularity — while the LARGE K rides
+    the 128-padded lane axis. The naive [K,T]x[16,T]->[K,16] orientation pads
+    the 16 output lanes to 128 (4x wasted MXU passes at K=512); transposed,
+    padding is zero. The caller folds hi+lo and transposes the tiny [32,K]
+    accumulator ONCE outside the kernel.
+
+    Fast path: e rounds to a SINGLE bf16 (its rounding error is RNE-unbiased
+    and averages out over the T-point reduction) while phi keeps full hi/lo
+    precision stacked on the sublane axis: [32,T] x [K,T] -> [32,K] with
+    rows 0:16 = hi-part, 16:32 = lo-part."""
     dims = (((1,), (1,)), ((), ()))
     if not fast:
         return jax.lax.dot_general(
-            gamma, phi, dims, preferred_element_type=_F32, precision=_HI
-        )
-    ghi = gamma.astype(_BF16)
+            phi, e, dims, preferred_element_type=_F32, precision=_HI
+        )  # [16, K]
     phi_hi, phi_lo = _split_hi_lo(phi)
     phi_cat = jnp.concatenate([phi_hi, phi_lo], axis=0)  # [32, T]
-    out = jax.lax.dot_general(
-        ghi, phi_cat, dims, preferred_element_type=_F32,
+    return jax.lax.dot_general(
+        phi_cat, e.astype(_BF16), dims, preferred_element_type=_F32,
         precision=jax.lax.Precision.DEFAULT,
-    )  # [K, 32]
-    return out[:, 0:16] + out[:, 16:32]
+    )  # [32, K]
 
 
 def _top_k_mask(logits, top_k: int):
@@ -188,19 +201,21 @@ def _top_k_mask(logits, top_k: int):
 
 
 def _softmax_cols_raw(logits, w_row, outlier):
-    """Column softmax over K (K = sublanes), uniform-outlier normalizer,
-    dead-column guard. Returns (e [K,T] = exp(l - m), scale [1,T] = w/s,
-    weighted lse [1,T]). gamma = e * scale, but the scale is NOT applied
-    here: callers fold it into the [16,T]-sized side of their downstream
-    matmul, saving a full K x T VPU pass per sweep."""
+    """Column softmax over K (K = sublanes) in LOG2 domain (logits and
+    `outlier` are base-2; see LOG2E), uniform-outlier normalizer, dead-column
+    guard. Returns (e [K,T] = exp2(l - m), scale [1,T] = w/s, weighted
+    NATURAL-log lse [1,T]). gamma = e * scale — base-invariant, identical to
+    the natural-domain softmax. The scale is NOT applied here: callers fold
+    it into the [16,T]-sized side of their downstream matmul, saving a full
+    K x T VPU pass per sweep."""
     m_raw = jnp.max(logits, axis=0, keepdims=True)
     m = jnp.maximum(m_raw, outlier)
     dead = m <= NEG_INF
     m_safe = jnp.maximum(m, NEG_INF)
-    e = jnp.exp(logits - m_safe)
-    s = jnp.sum(e, axis=0, keepdims=True) + jnp.exp(outlier - m_safe)
+    e = jax.lax.exp2(logits - m_safe)
+    s = jnp.sum(e, axis=0, keepdims=True) + jax.lax.exp2(outlier - m_safe)
     scale = jnp.where(dead, 0.0, w_row / s)
-    lse = jnp.where(dead, 0.0, (m_safe + jnp.log(s)) * w_row)
+    lse = jnp.where(dead, 0.0, (m_safe * _F32(LN2) + jnp.log(s)) * w_row)
     return e, scale, lse
 
 
@@ -233,9 +248,10 @@ def _em_stats_kernel(
         logits = jnp.where(ok, logits, NEG_INF)
 
     e, scale, lse = _softmax_cols_raw(logits, w, outlier_ref[0, 0])
-    # S += gamma . phi^T == e . (scale * phi)^T — scale folded into the
-    # 16-row side (16/K-th the elementwise work of scaling gamma).
-    s_tile = _stats_dot(e, phi * scale, fast=wt_ref.dtype == _BF16)
+    # S^T += (scale * phi) . e^T — scale folded into the 16-row side
+    # (16/K-th the elementwise work of scaling gamma); output transposed so
+    # K rides the lanes (see _stats_dot_t).
+    s_tile = _stats_dot_t(e, phi * scale, fast=wt_ref.dtype == _BF16)
     out_s_ref[:] = out_s_ref[:] + s_tile
     out_ll_ref[0, 0] += jnp.sum(lse)
 
@@ -267,17 +283,18 @@ def _em_stats_call(pts_t, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE)
     else:
         kernel = functools.partial(_em_stats_kernel, masked=False, branch=0)
 
+    s_rows = 32 if wt.dtype == _BF16 else 16
     flops_tile = 2 * k_pad * 16 * tile * 2 + 8 * k_pad * tile
     s_out, ll_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((k_pad, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_rows, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((k_pad, 16), _F32),
+            jax.ShapeDtypeStruct((s_rows, k_pad), _F32),
             jax.ShapeDtypeStruct((1, 1), _F32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -287,7 +304,11 @@ def _em_stats_call(pts_t, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE)
         ),
         interpret=_interpret(),
     )(*args)
-    return s_out, ll_out[0, 0]
+    # Fold the hi/lo halves and restore the [K_pad, 16] orientation — a tiny
+    # one-time transpose outside the hot kernel.
+    if s_rows == 32:
+        s_out = s_out[0:16] + s_out[16:32]
+    return s_out.T, ll_out[0, 0]
 
 
 def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
@@ -296,7 +317,13 @@ def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TIL
     k = W.shape[1]
     pts_t = prepare_points(points, point_weights, tile)
     wt = prepare_mixture(W, precision=precision)
-    out = jnp.full((1, 1), NEG_INF if outlier_logit is None else outlier_logit, _F32)
+    # Base-2 domain: real outlier logits scale by LOG2E (NEG_INF floor
+    # stays raw; only its <= NEG_INF dead-check semantics matter).
+    out = jnp.full(
+        (1, 1),
+        NEG_INF if outlier_logit is None else outlier_logit * LOG2E,
+        _F32,
+    )
     s, ll = _em_stats_call(pts_t, wt, out, tile=tile)
     return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
 
@@ -545,7 +572,13 @@ def reg_stats(
     pose_flat = jnp.concatenate([R.reshape(-1), t.reshape(-1), jnp.zeros(4, _F32)])[
         None, :
     ].astype(_F32)
-    out = jnp.full((1, 1), NEG_INF if outlier_logit is None else outlier_logit, _F32)
+    # Base-2 domain: real outlier logits scale by LOG2E (NEG_INF floor
+    # stays raw; only its <= NEG_INF dead-check semantics matter).
+    out = jnp.full(
+        (1, 1),
+        NEG_INF if outlier_logit is None else outlier_logit * LOG2E,
+        _F32,
+    )
 
     grid = (n_pad // t_tile,)
     horn_p, a_p, b_p, ll = pl.pallas_call(
