@@ -49,19 +49,19 @@ def main() -> None:
     pts = jax.random.normal(k4, (N, 3), jnp.float32)
 
     W = pack_loglik_weights(params)
-    pts_t = fused_em.prepare_points(pts)
+    phiw, phi48 = fused_em.prepare_phi(pts)
     wt = fused_em.prepare_mixture(W)
     outlier = jnp.full((1, 1), em_ref.NEG_INF, jnp.float32)
 
     use_pallas = backend == "tpu"
 
     @jax.jit
-    def sweep_chain(pts_t, wt, outlier):
+    def sweep_chain(phiw, phi48, wt, outlier):
         def body(c, _):
             # Thread the carry into an input so XLA cannot hoist the
             # loop-invariant kernel out of the scan (1e-38*c is exactly 0 in
             # every run but data-dependent to the compiler).
-            s, ll = fused_em._em_stats_call(pts_t, wt, outlier + 1e-38 * c)
+            s, ll = fused_em._em_stats_call(phiw, phi48, wt, outlier + 1e-38 * c)
             return c + jnp.sum(s) + ll, None
 
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SWEEPS)
@@ -72,11 +72,11 @@ def main() -> None:
 
     # Warmup (compile) + timed runs with forced host sync.
     for _ in range(2):
-        float(sweep_chain(pts_t, wt, outlier))
+        float(sweep_chain(phiw, phi48, wt, outlier))
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(sweep_chain(pts_t, wt, outlier))
+        float(sweep_chain(phiw, phi48, wt, outlier))
         times.append(time.perf_counter() - t0)
     per_sweep = float(np.median(times)) / SWEEPS
     pps = N / per_sweep

@@ -47,6 +47,13 @@ DEFAULT_TILE = 4096
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
+# Ablation switches for the fast-path softmax micro-optimizations (kernel
+# perf is measured, not assumed — see bench.py / benchmarks/):
+import os as _os
+
+_EXP2_BF16 = _os.environ.get("HGMM_EXP2_BF16", "1") == "1"
+_MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "1") == "1"
+
 # The kernels run the softmax in LOG2 domain: prepare_mixture folds log2(e)
 # into the packed weights so logits leave the MXU already base-2, the VPU
 # uses the cheaper native exp2 (saves the multiply inside the exp lowering,
@@ -108,6 +115,45 @@ def prepare_points(
         w = point_weights.astype(points.dtype)
     pts_t = jnp.concatenate([points.T, w[None, :]], axis=0)  # [4, N]
     return jnp.pad(pts_t, ((0, 4), (0, n_pad - n)))
+
+
+def prepare_phi(
+    points: jax.Array,
+    point_weights: jax.Array | None = None,
+    tile: int = DEFAULT_TILE,
+    precision: str = DEFAULT_PRECISION,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Precompute the monomial-feature buffers the fit kernels consume.
+
+    Returns (phiw, phi48):
+      phiw  [16, N_pad] f32 — rows 0:10 the monomial features psi(x)
+            (gaussians.features order), row 10 the point weight (0 for
+            padding), rows 11:16 zero.
+      phi48 [48, N_pad] bf16 — [phi_hi; phi_lo; phi_hi] sublane-stacked,
+            the rhs layout of the fast-path logits matmul. None for strict.
+
+    Points are STATIC across EM sweeps, so callers inside a lax.scan get
+    this hoisted out of the loop by XLA LICM — the per-sweep kernel then
+    does ZERO feature(re)building/VPU hi-lo splitting for the logits side
+    (measured: the fused sweep is VPU-bound, not MXU-bound, so removing
+    elementwise passes is the first-order win).
+    """
+    pts_t = prepare_points(points, point_weights, tile)  # [8, N_pad]
+    x, y, z, w = pts_t[0:1], pts_t[1:2], pts_t[2:3], pts_t[3:4]
+    one = jnp.ones_like(x)
+    # Padding columns have x=y=z=0 -> features (0,..,0,1); their weight row
+    # is 0, which zeroes their softmax scale and loglik in-kernel.
+    phi = jnp.concatenate(
+        [x * x, y * y, z * z, x * y, x * z, y * z, x, y, z, one], axis=0
+    )  # [10, N_pad] f32
+    zeros5 = jnp.zeros((5, phi.shape[1]), phi.dtype)
+    phiw = jnp.concatenate([phi, w, zeros5], axis=0)  # [16, N_pad]
+    if precision != "fast":
+        return phiw, None
+    phi16 = jnp.concatenate([phi, jnp.zeros_like(w), zeros5], axis=0)
+    hi, lo = _split_hi_lo(phi16)
+    phi48 = jnp.concatenate([hi, lo, hi], axis=0)  # [48, N_pad] bf16
+    return phiw, phi48
 
 
 def prepare_mixture(
@@ -200,23 +246,65 @@ def _top_k_mask(logits, top_k: int):
     return jnp.where(logits >= kth, logits, NEG_INF)
 
 
-def _softmax_cols_raw(logits, w_row, outlier):
+def _softmax_cols_raw(logits, w_row, outlier, fast: bool):
     """Column softmax over K (K = sublanes) in LOG2 domain (logits and
     `outlier` are base-2; see LOG2E), uniform-outlier normalizer, dead-column
     guard. Returns (e [K,T] = exp2(l - m), scale [1,T] = w/s, weighted
-    NATURAL-log lse [1,T]). gamma = e * scale — base-invariant, identical to
-    the natural-domain softmax. The scale is NOT applied here: callers fold
-    it into the [16,T]-sized side of their downstream matmul, saving a full
-    K x T VPU pass per sweep."""
+    NATURAL-log lse [1,T], sum_e [1,T]). gamma = e * scale — base-invariant,
+    identical to the natural-domain softmax. The scale is NOT applied here:
+    callers fold it into the [16,T]-sized side of their downstream matmul,
+    saving a full K x T VPU pass per sweep.
+
+    Fast path (the kernel is VPU-bound, so every K x T elementwise pass
+    counts):
+      - exp2 runs on bf16 vregs (half the vector registers of f32). The
+        exponent argument l - m <= 0 is formed in f32 first, so the bf16
+        rounding is ~2^-9 RELATIVE on the exponent — dominant components
+        (l - m ~ 0) see ~0 absolute error, and e is consumed at bf16 by the
+        downstream MXU contraction anyway.
+      - the normalizer sum over K rides the MXU as a ones-row matmul with
+        f32 accumulation (more accurate than a bf16 VPU tree sum, and it
+        removes a whole K x T VPU reduction pass).
+    """
     m_raw = jnp.max(logits, axis=0, keepdims=True)
     m = jnp.maximum(m_raw, outlier)
     dead = m <= NEG_INF
     m_safe = jnp.maximum(m, NEG_INF)
-    e = jax.lax.exp2(logits - m_safe)
-    s = jnp.sum(e, axis=0, keepdims=True) + jax.lax.exp2(outlier - m_safe)
+    # Exponent shift: the max GAUSSIAN logit, not max(gaussian, outlier) —
+    # so the dominant component sits at d = 0 where the bf16 exponent
+    # rounding (absolute error ~ |d| * 2^-9) vanishes. An outlier-dominated
+    # column would otherwise push EVERY Gaussian exponent far negative and
+    # smear |d|-proportional error across all its responsibilities. The
+    # shift only needs to prevent overflow; any per-column value works
+    # mathematically. Falls back to m_safe when all Gaussians are masked.
+    shift = jnp.where(m_raw <= NEG_INF, m_safe, m_raw)
+    d = logits - shift
+    if fast:
+        # exp2 stays f32 (bf16 exp2 is EMULATED on the VPU — measured
+        # slower); the result is cast to bf16 HERE, once — downstream MXU
+        # contractions consume bf16 e, so this cast replaces theirs.
+        e = jax.lax.exp2(d if not _EXP2_BF16 else d.astype(_BF16))
+        e = e.astype(_BF16)
+        if _MXU_SUM:
+            # Normalizer sum rides the MXU on the bf16 e (f32 accumulate)
+            # instead of spending a K x T VPU reduction pass.
+            ones = jnp.ones((8, e.shape[0]), _BF16)
+            sum_e = jnp.dot(
+                ones, e, preferred_element_type=_F32,
+                precision=jax.lax.Precision.DEFAULT,
+            )[0:1]  # [1,T]
+        else:
+            sum_e = jnp.sum(e.astype(_F32), axis=0, keepdims=True)
+    else:
+        e = jax.lax.exp2(d)
+        sum_e = jnp.sum(e, axis=0, keepdims=True)
+    # Outlier exponent clamped: if outlier >> max logit by >120 octaves the
+    # Gaussian mass is ~2^-120 of the column anyway (scale -> ~0 either way)
+    # and the clamp keeps s finite in f32.
+    s = sum_e + jax.lax.exp2(jnp.minimum(outlier - shift, 120.0))
     scale = jnp.where(dead, 0.0, w_row / s)
-    lse = jnp.where(dead, 0.0, (m_safe * _F32(LN2) + jnp.log(s)) * w_row)
-    return e, scale, lse
+    lse = jnp.where(dead, 0.0, (shift * _F32(LN2) + jnp.log(s)) * w_row)
+    return e, scale, lse, sum_e
 
 
 # ---------------------------------------------------------------------------
@@ -224,10 +312,9 @@ def _softmax_cols_raw(logits, w_row, outlier):
 # ---------------------------------------------------------------------------
 
 def _em_stats_kernel(
-    pts_ref, wt_ref, outlier_ref, out_s_ref, out_ll_ref, *, masked, branch,
-    parent_ref=None,
+    phiw_ref, wt_ref, outlier_ref, out_s_ref, out_ll_ref, *, branch,
+    phi48_ref=None, parent_ref=None,
 ):
-    del masked  # encoded by parent_ref presence
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -235,55 +322,74 @@ def _em_stats_kernel(
         out_s_ref[:] = jnp.zeros_like(out_s_ref)
         out_ll_ref[0, 0] = 0.0
 
-    pts = pts_ref[:]
-    x, y, z, w = pts[0:1], pts[1:2], pts[2:3], pts[3:4]
-    phi = _phi_of(x, y, z)
-    logits = _logits_of(wt_ref[:], phi)
+    fast = wt_ref.dtype == _BF16
+    phiw = phiw_ref[:]  # [16, T] f32: rows 0:10 features, row 10 weight
+    w = phiw[10:11]
+    if fast:
+        # Precomputed [hi; lo; hi] bf16 features — no per-sweep feature
+        # build or hi/lo split on the VPU.
+        logits = -0.5 * jnp.dot(
+            wt_ref[:], phi48_ref[:], preferred_element_type=_F32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    else:
+        logits = -0.5 * jnp.dot(
+            wt_ref[:], phiw, preferred_element_type=_F32, precision=_HI
+        )  # wt feature cols 10:16 are zero, so the w row is inert
 
     if parent_ref is not None:
-        k = logits.shape[0]
         comp = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
         par = parent_ref[:]  # [1, T] int32
         ok = (comp // branch) == par
         logits = jnp.where(ok, logits, NEG_INF)
 
-    e, scale, lse = _softmax_cols_raw(logits, w, outlier_ref[0, 0])
+    e, scale, lse, _ = _softmax_cols_raw(logits, w, outlier_ref[0, 0], fast)
     # S^T += (scale * phi) . e^T — scale folded into the 16-row side
     # (16/K-th the elementwise work of scaling gamma); output transposed so
-    # K rides the lanes (see _stats_dot_t).
-    s_tile = _stats_dot_t(e, phi * scale, fast=wt_ref.dtype == _BF16)
+    # K rides the lanes (see _stats_dot_t). Row 10 (scaled weights) is
+    # garbage sliced away by the caller.
+    s_tile = _stats_dot_t(e, phiw * scale, fast=fast)
     out_s_ref[:] = out_s_ref[:] + s_tile
     out_ll_ref[0, 0] += jnp.sum(lse)
 
 
-def _em_stats_call(pts_t, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE):
-    n_pad = pts_t.shape[1]
+def _em_stats_call(
+    phiw, phi48, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE
+):
+    n_pad = phiw.shape[1]
     tile = min(tile, n_pad)
     assert n_pad % tile == 0, (n_pad, tile)
     k_pad, w_lanes = wt.shape
+    fast = wt.dtype == _BF16
     grid = (n_pad // tile,)
     in_specs = [
-        pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((k_pad, w_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
-    args = [pts_t, wt, outlier]
-    kernel = _em_stats_kernel
+    args = [phiw, wt, outlier]
+    kw = {"branch": branch}
+    names = []
+    if fast:
+        in_specs.append(
+            pl.BlockSpec((48, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(phi48)
+        names.append("phi48_ref")
     if parent is not None:
         in_specs.append(
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(parent)
+        names.append("parent_ref")
 
-        def kernel(pts_ref, wt_ref, outlier_ref, parent_ref, out_s, out_ll):
-            _em_stats_kernel(
-                pts_ref, wt_ref, outlier_ref, out_s, out_ll,
-                masked=True, branch=branch, parent_ref=parent_ref,
-            )
-    else:
-        kernel = functools.partial(_em_stats_kernel, masked=False, branch=0)
+    def kernel(phiw_ref, wt_ref, outlier_ref, *rest):
+        extra = dict(zip(names, rest[: len(names)]))
+        out_s, out_ll = rest[len(names) :]
+        _em_stats_kernel(phiw_ref, wt_ref, outlier_ref, out_s, out_ll,
+                         **kw, **extra)
 
-    s_rows = 32 if wt.dtype == _BF16 else 16
+    s_rows = 32 if fast else 16
     flops_tile = 2 * k_pad * 16 * tile * 2 + 8 * k_pad * tile
     s_out, ll_out = pl.pallas_call(
         kernel,
@@ -299,7 +405,7 @@ def _em_stats_call(pts_t, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE)
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * grid[0],
-            bytes_accessed=n_pad * 36 + k_pad * 64 * 2,
+            bytes_accessed=n_pad * 160 + k_pad * 64 * 2,
             transcendentals=(k_pad + 2) * n_pad,
         ),
         interpret=_interpret(),
@@ -313,9 +419,11 @@ def _em_stats_call(pts_t, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE)
 
 def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
     """Pallas twin of em_ref.em_stats. Accepts [N,3] points or a prepared
-    [8, N_pad] buffer from prepare_points."""
+    [8, N_pad] buffer from prepare_points. The feature buffers built by
+    prepare_phi are pure functions of the (scan-invariant) points, so XLA
+    hoists them out of EM-sweep loops automatically."""
     k = W.shape[1]
-    pts_t = prepare_points(points, point_weights, tile)
+    phiw, phi48 = prepare_phi(points, point_weights, tile, precision)
     wt = prepare_mixture(W, precision=precision)
     # Base-2 domain: real outlier logits scale by LOG2E (NEG_INF floor
     # stays raw; only its <= NEG_INF dead-check semantics matter).
@@ -324,7 +432,7 @@ def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TIL
         NEG_INF if outlier_logit is None else outlier_logit * LOG2E,
         _F32,
     )
-    s, ll = _em_stats_call(pts_t, wt, out, tile=tile)
+    s, ll = _em_stats_call(phiw, phi48, wt, out, tile=tile)
     return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
 
 
@@ -334,13 +442,15 @@ def em_stats_masked(
 ):
     """Pallas twin of em_ref.em_stats_masked (tree-fit child masking)."""
     k = W.shape[1]
-    pts_t = prepare_points(points, point_weights, tile)
-    n_pad = pts_t.shape[1]
+    phiw, phi48 = prepare_phi(points, point_weights, tile, precision)
+    n_pad = phiw.shape[1]
     par = parent.astype(jnp.int32)
     par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
     wt = prepare_mixture(W, precision=precision)
     out = jnp.full((1, 1), NEG_INF, _F32)
-    s, ll = _em_stats_call(pts_t, wt, out, parent=par, branch=branch, tile=tile)
+    s, ll = _em_stats_call(
+        phiw, phi48, wt, out, parent=par, branch=branch, tile=tile
+    )
     return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
 
 
@@ -432,7 +542,8 @@ def _reg_stats_kernel(
     logits = _logits_of(wt_ref[:], phi)
     if top_k is not None:
         logits = _top_k_mask(logits, top_k)
-    e, scale, lse = _softmax_cols_raw(logits, w, outlier_ref[0, 0])
+    fast = aux_ref.dtype == _BF16
+    e, scale, lse, sum_e = _softmax_cols_raw(logits, w, outlier_ref[0, 0], fast)
 
     # One matmul for every per-point mixture reduction, with the softmax
     # scale applied to the [16,T] RESULT rather than the [K,T] operand:
@@ -455,10 +566,10 @@ def _reg_stats_kernel(
     m01, m02, m12 = red[6:7], red[7:8], red[8:9]
     u0, u1, u2 = red[9:10], red[10:11], red[11:12]
     # sum_j gamma = scale * sum_j e (the outlier term is excluded from the
-    # Gaussian-responsibility mass by reconstructing sum_j e from columns).
-    w_eff = scale * jnp.sum(e, axis=0, keepdims=True)  # [1,T]
+    # Gaussian-responsibility mass; sum_e comes back from the softmax — on
+    # the fast path it rode the MXU, so no extra K x T reduction pass here).
+    w_eff = scale * sum_e  # [1,T]
 
-    fast = aux_ref.dtype == _BF16
     dims = (((1,), (1,)), ((), ()))
     lo_pr = jax.lax.Precision.DEFAULT
 

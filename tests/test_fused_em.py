@@ -40,7 +40,8 @@ def test_em_stats_equivalence(k):
     ref = em_ref.em_stats(pts, W)
     got = fused_em.em_stats(pts, W, tile=TILE)
     np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
-    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+    # loglik normalizer sums bf16 exp2 outputs -> ~2^-9-relative noise.
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
 
 
 @pytest.mark.parametrize("k", [12, 64])
@@ -63,7 +64,7 @@ def test_em_stats_weights_and_outlier():
     ref = em_ref.em_stats(pts, W, w, outlier_logit=-3.0)
     got = fused_em.em_stats(pts, W, w, outlier_logit=-3.0, tile=TILE)
     np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
-    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
 
 
 def test_em_stats_masked_equivalence():
@@ -74,7 +75,7 @@ def test_em_stats_masked_equivalence():
     ref = em_ref.em_stats_masked(pts, W, parent, 8)
     got = fused_em.em_stats_masked(pts, W, parent, 8, tile=TILE)
     np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
-    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
 
 
 def test_assign_equivalence():
@@ -110,7 +111,7 @@ def test_reg_stats_equivalence(top_k, outlier):
     np.testing.assert_allclose(got.horn, ref.horn, rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(got.A, ref.A, rtol=1e-2, atol=2e-1)
     np.testing.assert_allclose(got.b, ref.b, rtol=1e-2, atol=2e-1)
-    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
 
 
 def test_reg_stats_point_weights():
