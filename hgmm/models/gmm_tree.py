@@ -39,14 +39,17 @@ from hgmm.ops.gaussians import (
 )
 from hgmm.models.gmm import em_fit, init_params
 
-# Child seeding directions for J=8: cube corners (unit norm).
-_CUBE = jnp.array(
+# Child seeding directions for J=8: cube corners (unit norm). numpy so the
+# import never initializes a JAX backend (multi-process bootstrap ordering).
+import numpy as np  # noqa: E402
+
+_CUBE = np.array(
     [
         [-1, -1, -1], [-1, -1, 1], [-1, 1, -1], [-1, 1, 1],
         [1, -1, -1], [1, -1, 1], [1, 1, -1], [1, 1, 1],
     ],
-    dtype=jnp.float32,
-) / jnp.sqrt(3.0)
+    dtype=np.float32,
+) / np.sqrt(3.0)
 
 
 def _child_directions(branch: int) -> jax.Array:

@@ -12,12 +12,30 @@ Design (see hgmm.ops.gaussians for the math):
   the long N axis rides the 128-lane dimension. `prepare_points` builds this
   layout once; the registration scan then never re-materializes it.
 - Per grid step (one tile of T points):
-    phi    [16, T]  degree-2 monomial features, built on the VPU
-    logits [K, T] = -1/2 * Wt[K,16] @ phi            (MXU)
-    gamma  [K, T]   masked/top-k softmax over K      (VPU)
-    S     +[K, 16] = gamma @ phi^T  contraction      (MXU, VMEM-resident)
+    phi  [16, T]  degree-2 monomial features, built on the VPU
+    d    [K, T] = Wt[K,16] @ phi    shifted log2-domain logits   (MXU)
+    e    [K, T] = exp2(d)           unnormalized responsibilities (VPU)
+    S   +[K, 16] = e @ (phi * scale)^T  contraction              (MXU)
   so the [N, K] responsibility matrix NEVER exists in HBM — the
   flash-attention idiom applied to EM (SURVEY.md §6.7).
+
+- GLOBAL-SHIFT SOFTMAX (the fast path). The kernel is VPU-bound at large K
+  (the MXU work is ~90 bf16 FLOPs/point/component but every K x T
+  elementwise pass costs ~K/1024 VPU cycles/point), so the classic
+  max/subtract/exp softmax spends 3 full K x T VPU passes. Instead we fold
+  BOTH the -1/2 log2(e) logit scaling AND a global shift G =
+  max_j sup_y log pi_j N(y) (gaussians.max_logit) into the packed weights:
+  the MXU then emits d = log2[pi N] - G2 <= ~0 directly and the softmax is
+  ONE exp2 pass. All outlier/normalizer corrections become SCALAR
+  precomputation outside the kernel (see _softmax_scalars).
+  Domain restriction (documented, tested): a point whose best component
+  log-likelihood sits more than ~110 octaves (~76 nats, ~12 sigma in
+  Mahalanobis distance) below the mixture's peak attainable log-likelihood
+  progressively loses weight (its exp2 responsibilities underflow f32, and
+  the scale floor caps its reweighting); with an outlier component
+  configured such points are outlier-dominated anyway. precision="strict"
+  keeps the exact per-column-max softmax for oracle comparisons.
+
 - The registration kernel additionally applies the current SE(3) pose to
   the points IN-KERNEL (pose enters via SMEM scalars, so each scan
   iteration re-reads only the static [8, N] source buffer) and emits the
@@ -34,6 +52,7 @@ compiled on TPU.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -41,39 +60,72 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hgmm.ops.em_ref import NEG_INF, EmStats, RegStats
-from hgmm.ops.gaussians import PHI_DIM
+from hgmm.ops.gaussians import PHI_DIM, max_logit
 
 DEFAULT_TILE = 4096
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
-# Ablation switches for the fast-path softmax micro-optimizations (kernel
-# perf is measured, not assumed — see bench.py / benchmarks/):
-import os as _os
-
-_EXP2_BF16 = _os.environ.get("HGMM_EXP2_BF16", "1") == "1"
+# Fast-path ablation switch (kernel perf is measured, not assumed — see
+# bench.py). HGMM_FAST_VARIANT:
+#   0 (default): d f32 out of the MXU, exp2 on f32, explicit e -> bf16 cast
+#     (2 K x T VPU passes/sweep; downstream MXU consumes bf16 e).
+#   1: exp2 f32, e stays f32; downstream matmuls at DEFAULT precision round
+#     the operands to bf16 inside the MXU ingest (1 K x T VPU pass if Mosaic
+#     folds the convert, more if it doesn't — measure).
+#   2: d cast to bf16 before exp2 (e comes out bf16). Cheapest if Mosaic's
+#     bf16 exp2 is native, but the bf16 rounding of d is ~|d| * 2^-9
+#     ABSOLUTE octaves, i.e. up to ~8% responsibility error for points far
+#     below the global shift — measure both speed AND test tolerances.
+_FAST_VARIANT = int(_os.environ.get("HGMM_FAST_VARIANT", "0"))
 _MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "1") == "1"
 
-# The kernels run the softmax in LOG2 domain: prepare_mixture folds log2(e)
-# into the packed weights so logits leave the MXU already base-2, the VPU
-# uses the cheaper native exp2 (saves the multiply inside the exp lowering,
-# measured ~5% of sweep time), and the logsumexp converts back to nats with
-# one multiply on the [1, T] row. Softmax responsibilities are base-invariant,
-# so gamma is mathematically unchanged.
+# Signature salt: this environment's remote-compile service caches compiled
+# executables keyed by the OUTER jit program's input signature, not its HLO
+# body — an edit to kernel internals with unchanged caller shapes silently
+# reuses the stale executable (observed: bit-identical EM trajectories
+# across kernel versions). Padding the scalar SMEM rows by a source-derived
+# width makes every source edit change every caller's signature. The kernels
+# only ever read the leading slice; cost is a few SMEM bytes.
+import zlib as _zlib
+
+try:
+    _SIG_SALT = _zlib.crc32(open(__file__, "rb").read()) % 48
+except OSError:  # pragma: no cover
+    _SIG_SALT = 0
+
+
+def _salt_row(row: jax.Array) -> jax.Array:
+    """Pad a [1, w] scalar row to [1, w + _SIG_SALT]."""
+    return jnp.pad(row, ((0, 0), (0, _SIG_SALT)))
+
+# The kernels run the softmax in LOG2 domain: prepare_mixture folds
+# -1/2 * log2(e) into the packed weights so logits leave the MXU already
+# base-2 (and already negated/halved — zero VPU passes), the VPU uses the
+# cheaper native exp2, and the logsumexp converts back to nats with scalar
+# corrections. Softmax responsibilities are base-invariant.
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
+# Scale floor: caps the per-point reweighting w / sum_e at ~2^110 so the
+# [16,T] (phi * scale) operand of the stats matmul cannot overflow f32 even
+# when a column's responsibilities all sit near the exp2 underflow edge.
+_SCALE_FLOOR = 2.0 ** -110
+
 # Precision of the hot matmuls:
-#  - "fast": fp32 operands split into hi/lo bf16 pairs; the logits matmul
-#    stacks [Whi|Whi|Wlo] against [phi_hi;phi_lo;phi_hi] along the (heavily
-#    padded) 16->48-deep contraction, so full ~fp32 accuracy costs ONE bf16
-#    MXU pass instead of the 6 passes of Precision.HIGHEST. Measured 2026-08-17
-#    on v5e: HIGHEST runs the K=512 sweep at 3.9 TFLOP/s (= its structural
+#  - "fast": global-shift softmax (above); fp32 operands split into hi/lo
+#    bf16 pairs where accuracy demands it; the logits matmul stacks
+#    [Whi|Whi|Wlo] against [phi_hi;phi_lo;phi_hi] along the (heavily padded)
+#    16->48-deep contraction, so full ~fp32 accuracy costs ONE bf16 MXU pass
+#    instead of the 6 passes of Precision.HIGHEST. Measured 2026-08-17 on
+#    v5e: HIGHEST runs the K=512 sweep at 3.9 TFLOP/s (its structural
 #    ceiling); the split path raises the ceiling 6x on the logits matmul and
 #    2x on the T-deep stats matmul.
-#  - "strict": fp32 Precision.HIGHEST everywhere (bit-conservative twin).
+#  - "strict": fp32 Precision.HIGHEST everywhere + exact per-column-max
+#    softmax (bit-conservative twin).
 DEFAULT_PRECISION = "fast"
 _HI = jax.lax.Precision.HIGHEST
+_LO = jax.lax.Precision.DEFAULT
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,6 +141,21 @@ def _split_hi_lo(x):
     hi = x.astype(_BF16)
     lo = (x - hi.astype(_F32)).astype(_BF16)
     return hi, lo
+
+
+def _split3(x):
+    """fp32 -> (hi, mid, lo) bf16 triple with x ~= hi + mid + lo (~24
+    mantissa bits — full f32 coverage). Used for the packed mixture weights,
+    whose magnitude reaches 1/cov_reg for collapsed covariances: the
+    monomial-basis quadratic form cancels catastrophically there, so the
+    logits matmul needs ~f32 product accuracy (a 2-way split leaves
+    |W.phi| * 2^-16 absolute error — measured as multi-nat logit error and
+    EM-quality loss on thin-structure clouds)."""
+    hi = x.astype(_BF16)
+    r = x - hi.astype(_F32)
+    mid = r.astype(_BF16)
+    lo = (r - mid.astype(_F32)).astype(_BF16)
+    return hi, mid, lo
 
 
 # ---------------------------------------------------------------------------
@@ -152,32 +219,86 @@ def prepare_phi(
         return phiw, None
     phi16 = jnp.concatenate([phi, jnp.zeros_like(w), zeros5], axis=0)
     hi, lo = _split_hi_lo(phi16)
-    phi48 = jnp.concatenate([hi, lo, hi], axis=0)  # [48, N_pad] bf16
-    return phiw, phi48
+    # [hi; lo; hi; lo; hi]: the rhs of the 80-deep logits contraction whose
+    # block products against [Whi|Whi|Wmid|Wmid|Wlo] cover every hi/mid/lo
+    # cross term except lo*lo (~2^-24 relative) — see prepare_mixture.
+    phis = jnp.concatenate([hi, lo, hi, lo, hi], axis=0)  # [80, N_pad] bf16
+    return phiw, phis
 
 
 def prepare_mixture(
-    W: jax.Array, k_pad_to: int = 8, precision: str = DEFAULT_PRECISION
+    W: jax.Array,
+    k_pad_to: int = 8,
+    precision: str = DEFAULT_PRECISION,
+    shift: jax.Array | float | None = None,
 ) -> jax.Array:
     """pack_loglik_weights output [>=10, K] -> Wt [K_pad, 16] f32 (strict)
-    or [K_pad, 48] bf16 = [Whi | Whi | Wlo] (fast).
+    or [K_pad, 80] bf16 = [Whi | Whi | Wmid | Wmid | Wlo] (fast).
 
-    The rows are pre-scaled by log2(e) so in-kernel logits are base-2 (see
-    LOG2E above). Padded components get the zero row except c = 2e31 (mask
-    floor) so their base-2 logits fall below NEG_INF.
+    The -1/2 logit factor and the log2(e) base change are FOLDED IN, so the
+    in-kernel matmul Wt @ phi yields base-2 logits directly — no K x T
+    scaling pass. `shift` (natural-log scalar, usually gaussians.max_logit)
+    is additionally subtracted via the constant-feature column so fast-path
+    logits arrive pre-shifted (d <= ~0). Padded components get logit -1e31
+    (below the NEG_INF mask floor).
+
+    Fast-path layout: W is 3-way split (hi/mid/lo, ~24 mantissa bits) and
+    phi 2-way (hi/lo); the block pairing against [phi_hi; phi_lo; phi_hi;
+    phi_lo; phi_hi] yields Whi(phh+pll) + Wmid(phh+pll) + Wlo*phh — every
+    cross term except Wlo*pll (~2^-24 relative), i.e. ~f32-accurate logits
+    from ONE bf16 MXU pass over a (well-padded anyway) 80-deep contraction.
     """
     d, k = W.shape
-    Wt = W.T * _F32(LOG2E)  # [K, d], log2 domain
+    Wt = W.T * _F32(-0.5 * LOG2E)  # [K, d]: folded -1/2, log2 domain
     if d < 16:
         Wt = jnp.pad(Wt, ((0, 0), (0, 16 - d)))
+    if shift is not None:
+        Wt = Wt.at[:, 9].add(-LOG2E * jnp.asarray(shift, _F32))
     k_pad = _round_up(k, k_pad_to)
     if k_pad != k:
-        pad_row = jnp.zeros((k_pad - k, 16), Wt.dtype).at[:, 9].set(2e31)
+        pad_row = jnp.zeros((k_pad - k, 16), Wt.dtype).at[:, 9].set(-1e31)
         Wt = jnp.concatenate([Wt, pad_row], axis=0)
     if precision == "fast":
-        hi, lo = _split_hi_lo(Wt.astype(_F32))
-        Wt = jnp.concatenate([hi, hi, lo], axis=1)  # [K_pad, 48]
+        hi, mid, lo = _split3(Wt.astype(_F32))
+        Wt = jnp.concatenate([hi, hi, mid, mid, lo], axis=1)  # [K_pad, 80]
     return Wt
+
+
+def _softmax_scalars(
+    outlier_logit: jax.Array | float | None,
+    shift: jax.Array | float | None,
+) -> jax.Array:
+    """Precompute the scalar softmax corrections as a [1, 8] f32 SMEM row.
+
+    With the global shift G folded into the weights, every quantity the
+    softmax needs beyond sum_e is a SCALAR function of (G, outlier):
+      slot 0  oe  = 2^(o2 - G2)     outlier mass in the shifted domain
+                                    (+inf when the outlier dwarfs G —
+                                    scale = w / inf = 0 is the right limit)
+      slot 1  c1  = 2^(G2 - m2)     lse normalizer coefficients with
+      slot 2  c2  = 2^(o2 - m2)     m2 = max(G2, o2), so the log argument
+                                    never overflows
+      slot 3  m2 * ln2              natural-log lse base
+      slot 4  o2 = outlier * log2e  raw outlier logit for the strict path
+    where G2 = G * log2e. outlier None => oe = c2 = 0 (and o2 = NEG_INF).
+    shift None (strict-only callers) treats G = 0.
+    """
+    g2 = LOG2E * jnp.asarray(0.0 if shift is None else shift, _F32)
+    if outlier_logit is None:
+        row = jnp.stack(
+            [jnp.zeros((), _F32), jnp.ones((), _F32), jnp.zeros((), _F32),
+             g2 * LN2, jnp.full((), NEG_INF, _F32)]
+        )
+    else:
+        o2 = LOG2E * jnp.asarray(outlier_logit, _F32)
+        m2 = jnp.maximum(g2, o2)
+        row = jnp.stack(
+            [jnp.exp2(o2 - g2), jnp.exp2(g2 - m2), jnp.exp2(o2 - m2),
+             m2 * LN2, o2]
+        )
+    # Width 8 + _SIG_SALT: kernels read only [0:8]; the salt defeats the
+    # stale remote-compile cache (see _SIG_SALT above).
+    return _salt_row(jnp.pad(row, (0, 3))[None, :])
 
 
 # ---------------------------------------------------------------------------
@@ -196,16 +317,15 @@ def _phi_of(x, y, z):
 
 
 def _logits_of(wt, phi):
-    """wt [K,16] f32 (strict) or [K,48] bf16 (fast); phi [16,T] f32
-    -> [K,T] log pi_j N(y_i)."""
+    """wt [K,16] f32 (strict) or [K,80] bf16 (fast); phi [16,T] f32
+    -> [K,T] shifted base-2 logits (the -1/2 and log2e factors — and the
+    global shift on the fast path — are folded into wt; see prepare_mixture
+    for the 80-deep split layout)."""
     if wt.dtype == _BF16:
         hi, lo = _split_hi_lo(phi)
-        phi_cat = jnp.concatenate([hi, lo, hi], axis=0)  # [48, T]
-        return -0.5 * jnp.dot(
-            wt, phi_cat, preferred_element_type=_F32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-    return -0.5 * jnp.dot(wt, phi, preferred_element_type=_F32, precision=_HI)
+        phi_cat = jnp.concatenate([hi, lo, hi, lo, hi], axis=0)  # [80, T]
+        return jnp.dot(wt, phi_cat, preferred_element_type=_F32, precision=_LO)
+    return jnp.dot(wt, phi, preferred_element_type=_F32, precision=_HI)
 
 
 def _stats_dot_t(e, phi, fast: bool):
@@ -218,10 +338,11 @@ def _stats_dot_t(e, phi, fast: bool):
     padding is zero. The caller folds hi+lo and transposes the tiny [32,K]
     accumulator ONCE outside the kernel.
 
-    Fast path: e rounds to a SINGLE bf16 (its rounding error is RNE-unbiased
-    and averages out over the T-point reduction) while phi keeps full hi/lo
-    precision stacked on the sublane axis: [32,T] x [K,T] -> [32,K] with
-    rows 0:16 = hi-part, 16:32 = lo-part."""
+    Fast path: e enters at bf16 (explicitly cast, or rounded inside the MXU
+    at DEFAULT precision — its rounding error is RNE-unbiased and averages
+    out over the T-point reduction) while phi keeps full hi/lo precision
+    stacked on the sublane axis: [32,T] x [K,T] -> [32,K] with rows
+    0:16 = hi-part, 16:32 = lo-part."""
     dims = (((1,), (1,)), ((), ()))
     if not fast:
         return jax.lax.dot_general(
@@ -230,8 +351,7 @@ def _stats_dot_t(e, phi, fast: bool):
     phi_hi, phi_lo = _split_hi_lo(phi)
     phi_cat = jnp.concatenate([phi_hi, phi_lo], axis=0)  # [32, T]
     return jax.lax.dot_general(
-        phi_cat, e.astype(_BF16), dims, preferred_element_type=_F32,
-        precision=jax.lax.Precision.DEFAULT,
+        phi_cat, e, dims, preferred_element_type=_F32, precision=_LO
     )  # [32, K]
 
 
@@ -246,64 +366,65 @@ def _top_k_mask(logits, top_k: int):
     return jnp.where(logits >= kth, logits, NEG_INF)
 
 
-def _softmax_cols_raw(logits, w_row, outlier, fast: bool):
-    """Column softmax over K (K = sublanes) in LOG2 domain (logits and
-    `outlier` are base-2; see LOG2E), uniform-outlier normalizer, dead-column
-    guard. Returns (e [K,T] = exp2(l - m), scale [1,T] = w/s, weighted
-    NATURAL-log lse [1,T], sum_e [1,T]). gamma = e * scale — base-invariant,
-    identical to the natural-domain softmax. The scale is NOT applied here:
-    callers fold it into the [16,T]-sized side of their downstream matmul,
-    saving a full K x T VPU pass per sweep.
+def _exp_fast(d):
+    """exp2 per _FAST_VARIANT (see module header)."""
+    if _FAST_VARIANT == 2:
+        return jax.lax.exp2(d.astype(_BF16))
+    e = jax.lax.exp2(d)
+    if _FAST_VARIANT == 0:
+        e = e.astype(_BF16)
+    return e
 
-    Fast path (the kernel is VPU-bound, so every K x T elementwise pass
-    counts):
-      - exp2 runs on bf16 vregs (half the vector registers of f32). The
-        exponent argument l - m <= 0 is formed in f32 first, so the bf16
-        rounding is ~2^-9 RELATIVE on the exponent — dominant components
-        (l - m ~ 0) see ~0 absolute error, and e is consumed at bf16 by the
-        downstream MXU contraction anyway.
-      - the normalizer sum over K rides the MXU as a ones-row matmul with
-        f32 accumulation (more accurate than a bf16 VPU tree sum, and it
-        removes a whole K x T VPU reduction pass).
+
+def _softmax_fast(d, w_row, sm):
+    """Global-shift column softmax: d [K,T] = base-2 logits pre-shifted by
+    G (folded into the weights), sm the _softmax_scalars row. ONE K x T
+    transcendental pass (+ the variant's cast); the normalizer sum rides
+    the MXU; everything else is [1,T]-sized.
+
+    Returns (e, scale, lse, sum_e): gamma = e * scale. scale is NOT applied
+    here — callers fold it into the [16,T]-sized side of their downstream
+    matmul, saving a full K x T VPU pass per sweep. Dead columns (all
+    responsibilities underflow, no outlier) get sum_e = 0 => zero stats and
+    zero loglik, per the documented fast-path domain restriction.
+    """
+    e = _exp_fast(d)
+    if _MXU_SUM:
+        # Normalizer sum rides the MXU (f32 accumulate) instead of spending
+        # a K x T VPU reduction pass.
+        ones = jnp.ones((8, e.shape[0]), e.dtype)
+        sum_e = jnp.dot(ones, e, preferred_element_type=_F32, precision=_LO)[
+            0:1
+        ]  # [1,T]
+    else:
+        sum_e = jnp.sum(e.astype(_F32), axis=0, keepdims=True)
+    # _SCALE_FLOOR keeps scale * phi inside f32 even at the underflow edge;
+    # its relative effect on live columns is < 2^-80.
+    scale = w_row / (sum_e + sm[0, 0] + _SCALE_FLOOR)
+    tot = sum_e * sm[0, 1] + sm[0, 2]
+    lse = jnp.where(tot > 0, (sm[0, 3] + jnp.log(tot)) * w_row, 0.0)
+    return e, scale, lse, sum_e
+
+
+def _softmax_strict(logits, w_row, out2):
+    """Exact per-column-max softmax (log2 domain), the bit-conservative
+    twin of em_ref._soft. The normalizer/lse run in the true max domain
+    m2 = max(column max, outlier), so an outlier-dominated column
+    (outlier >> every gaussian logit) yields lse -> outlier exactly instead
+    of saturating (the round-1 advisor finding). Fully-masked columns with
+    out2 < -126 octaves are the one remaining divergence (lse 0, not
+    outlier) — they only arise for padding points, whose weight row is 0.
     """
     m_raw = jnp.max(logits, axis=0, keepdims=True)
-    m = jnp.maximum(m_raw, outlier)
-    dead = m <= NEG_INF
-    m_safe = jnp.maximum(m, NEG_INF)
-    # Exponent shift: the max GAUSSIAN logit, not max(gaussian, outlier) —
-    # so the dominant component sits at d = 0 where the bf16 exponent
-    # rounding (absolute error ~ |d| * 2^-9) vanishes. An outlier-dominated
-    # column would otherwise push EVERY Gaussian exponent far negative and
-    # smear |d|-proportional error across all its responsibilities. The
-    # shift only needs to prevent overflow; any per-column value works
-    # mathematically. Falls back to m_safe when all Gaussians are masked.
-    shift = jnp.where(m_raw <= NEG_INF, m_safe, m_raw)
-    d = logits - shift
-    if fast:
-        # exp2 stays f32 (bf16 exp2 is EMULATED on the VPU — measured
-        # slower); the result is cast to bf16 HERE, once — downstream MXU
-        # contractions consume bf16 e, so this cast replaces theirs.
-        e = jax.lax.exp2(d if not _EXP2_BF16 else d.astype(_BF16))
-        e = e.astype(_BF16)
-        if _MXU_SUM:
-            # Normalizer sum rides the MXU on the bf16 e (f32 accumulate)
-            # instead of spending a K x T VPU reduction pass.
-            ones = jnp.ones((8, e.shape[0]), _BF16)
-            sum_e = jnp.dot(
-                ones, e, preferred_element_type=_F32,
-                precision=jax.lax.Precision.DEFAULT,
-            )[0:1]  # [1,T]
-        else:
-            sum_e = jnp.sum(e.astype(_F32), axis=0, keepdims=True)
-    else:
-        e = jax.lax.exp2(d)
-        sum_e = jnp.sum(e, axis=0, keepdims=True)
-    # Outlier exponent clamped: if outlier >> max logit by >120 octaves the
-    # Gaussian mass is ~2^-120 of the column anyway (scale -> ~0 either way)
-    # and the clamp keeps s finite in f32.
-    s = sum_e + jax.lax.exp2(jnp.minimum(outlier - shift, 120.0))
-    scale = jnp.where(dead, 0.0, w_row / s)
-    lse = jnp.where(dead, 0.0, (shift * _F32(LN2) + jnp.log(s)) * w_row)
+    alive = m_raw > NEG_INF
+    shift = jnp.where(alive, m_raw, 0.0)
+    e = jax.lax.exp2(logits - shift)  # masked entries: exp2(-1e30) = 0
+    sum_e = jnp.sum(e, axis=0, keepdims=True)
+    s = sum_e + jax.lax.exp2(out2 - shift)  # +inf => scale 0 (outlier wins)
+    scale = jnp.where(s > 0, w_row / jnp.maximum(s, 1e-38), 0.0)
+    m2 = jnp.maximum(shift, jnp.where(alive, out2, NEG_INF))
+    tot = sum_e * jax.lax.exp2(shift - m2) + jax.lax.exp2(out2 - m2)
+    lse = jnp.where(tot > 0, (m2 * _F32(LN2) + jnp.log(tot)) * w_row, 0.0)
     return e, scale, lse, sum_e
 
 
@@ -312,7 +433,7 @@ def _softmax_cols_raw(logits, w_row, outlier, fast: bool):
 # ---------------------------------------------------------------------------
 
 def _em_stats_kernel(
-    phiw_ref, wt_ref, outlier_ref, out_s_ref, out_ll_ref, *, branch,
+    phiw_ref, wt_ref, sm_ref, out_s_ref, out_ll_ref, *, branch,
     phi48_ref=None, parent_ref=None,
 ):
     step = pl.program_id(0)
@@ -327,23 +448,26 @@ def _em_stats_kernel(
     w = phiw[10:11]
     if fast:
         # Precomputed [hi; lo; hi] bf16 features — no per-sweep feature
-        # build or hi/lo split on the VPU.
-        logits = -0.5 * jnp.dot(
-            wt_ref[:], phi48_ref[:], preferred_element_type=_F32,
-            precision=jax.lax.Precision.DEFAULT,
+        # build or hi/lo split on the VPU; output is already the shifted
+        # base-2 logit d (every scaling folded into wt).
+        d = jnp.dot(
+            wt_ref[:], phi48_ref[:], preferred_element_type=_F32, precision=_LO
         )
     else:
-        logits = -0.5 * jnp.dot(
+        d = jnp.dot(
             wt_ref[:], phiw, preferred_element_type=_F32, precision=_HI
         )  # wt feature cols 10:16 are zero, so the w row is inert
 
     if parent_ref is not None:
-        comp = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        comp = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
         par = parent_ref[:]  # [1, T] int32
         ok = (comp // branch) == par
-        logits = jnp.where(ok, logits, NEG_INF)
+        d = jnp.where(ok, d, NEG_INF)
 
-    e, scale, lse, _ = _softmax_cols_raw(logits, w, outlier_ref[0, 0], fast)
+    if fast:
+        e, scale, lse, _ = _softmax_fast(d, w, sm_ref)
+    else:
+        e, scale, lse, _ = _softmax_strict(d, w, sm_ref[0, 4])
     # S^T += (scale * phi) . e^T — scale folded into the 16-row side
     # (16/K-th the elementwise work of scaling gamma); output transposed so
     # K rides the lanes (see _stats_dot_t). Row 10 (scaled weights) is
@@ -354,7 +478,7 @@ def _em_stats_kernel(
 
 
 def _em_stats_call(
-    phiw, phi48, wt, outlier, parent=None, branch=8, tile=DEFAULT_TILE
+    phiw, phi48, wt, sm, parent=None, branch=8, tile=DEFAULT_TILE
 ):
     n_pad = phiw.shape[1]
     tile = min(tile, n_pad)
@@ -365,14 +489,16 @@ def _em_stats_call(
     in_specs = [
         pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((k_pad, w_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
-    args = [phiw, wt, outlier]
+    args = [phiw, wt, sm]
     kw = {"branch": branch}
     names = []
     if fast:
         in_specs.append(
-            pl.BlockSpec((48, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (phi48.shape[0], tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
         )
         args.append(phi48)
         names.append("phi48_ref")
@@ -383,14 +509,19 @@ def _em_stats_call(
         args.append(parent)
         names.append("parent_ref")
 
-    def kernel(phiw_ref, wt_ref, outlier_ref, *rest):
+    def kernel(phiw_ref, wt_ref, sm_ref, *rest):
         extra = dict(zip(names, rest[: len(names)]))
         out_s, out_ll = rest[len(names) :]
-        _em_stats_kernel(phiw_ref, wt_ref, outlier_ref, out_s, out_ll,
+        _em_stats_kernel(phiw_ref, wt_ref, sm_ref, out_s, out_ll,
                          **kw, **extra)
 
     s_rows = 32 if fast else 16
-    flops_tile = 2 * k_pad * 16 * tile * 2 + 8 * k_pad * tile
+    # Executed MXU work per tile: logits (w_lanes-deep) + stats (tile-deep,
+    # s_rows output rows) + the fast path's MXU normalizer sum.
+    flops_tile = 2 * k_pad * w_lanes * tile + 2 * s_rows * k_pad * tile
+    if fast and _MXU_SUM:
+        flops_tile += 2 * 8 * k_pad * tile
+    bytes_pt = (64 + 2 * phi48.shape[0]) if fast else 64  # phiw f32 (+ split-phi bf16)
     s_out, ll_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -405,8 +536,9 @@ def _em_stats_call(
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * grid[0],
-            bytes_accessed=n_pad * 160 + k_pad * 64 * 2,
-            transcendentals=(k_pad + 2) * n_pad,
+            bytes_accessed=n_pad * bytes_pt + k_pad * w_lanes * (2 if fast else 4)
+            + s_rows * k_pad * 4 * 2,
+            transcendentals=k_pad * n_pad,
         ),
         interpret=_interpret(),
     )(*args)
@@ -420,19 +552,15 @@ def _em_stats_call(
 def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
     """Pallas twin of em_ref.em_stats. Accepts [N,3] points or a prepared
     [8, N_pad] buffer from prepare_points. The feature buffers built by
-    prepare_phi are pure functions of the (scan-invariant) points, so XLA
-    hoists them out of EM-sweep loops automatically."""
+    prepare_phi and the global shift are pure functions of the
+    (scan-invariant) points/mixture, so XLA hoists them out of EM-sweep
+    loops automatically."""
     k = W.shape[1]
     phiw, phi48 = prepare_phi(points, point_weights, tile, precision)
-    wt = prepare_mixture(W, precision=precision)
-    # Base-2 domain: real outlier logits scale by LOG2E (NEG_INF floor
-    # stays raw; only its <= NEG_INF dead-check semantics matter).
-    out = jnp.full(
-        (1, 1),
-        NEG_INF if outlier_logit is None else outlier_logit * LOG2E,
-        _F32,
-    )
-    s, ll = _em_stats_call(phiw, phi48, wt, out, tile=tile)
+    shift = max_logit(W) if precision == "fast" else None
+    wt = prepare_mixture(W, precision=precision, shift=shift)
+    sm = _softmax_scalars(outlier_logit, shift)
+    s, ll = _em_stats_call(phiw, phi48, wt, sm, tile=tile)
     return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
 
 
@@ -446,10 +574,11 @@ def em_stats_masked(
     n_pad = phiw.shape[1]
     par = parent.astype(jnp.int32)
     par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
-    wt = prepare_mixture(W, precision=precision)
-    out = jnp.full((1, 1), NEG_INF, _F32)
+    shift = max_logit(W) if precision == "fast" else None
+    wt = prepare_mixture(W, precision=precision, shift=shift)
+    sm = _softmax_scalars(None, shift)
     s, ll = _em_stats_call(
-        phiw, phi48, wt, out, parent=par, branch=branch, tile=tile
+        phiw, phi48, wt, sm, parent=par, branch=branch, tile=tile
     )
     return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
 
@@ -517,7 +646,7 @@ def assign(points, W, parent=None, branch=None, tile=DEFAULT_TILE, precision=DEF
 # ---------------------------------------------------------------------------
 
 def _reg_stats_kernel(
-    pts_ref, pose_ref, wt_ref, aux_ref, outlier_ref,
+    pts_ref, pose_ref, wt_ref, aux_ref, sm_ref,
     out_horn_ref, out_a_ref, out_b_ref, out_ll_ref, *, top_k,
 ):
     step = pl.program_id(0)
@@ -543,18 +672,20 @@ def _reg_stats_kernel(
     if top_k is not None:
         logits = _top_k_mask(logits, top_k)
     fast = aux_ref.dtype == _BF16
-    e, scale, lse, sum_e = _softmax_cols_raw(logits, w, outlier_ref[0, 0], fast)
+    if fast:
+        e, scale, lse, sum_e = _softmax_fast(logits, w, sm_ref)
+    else:
+        e, scale, lse, sum_e = _softmax_strict(logits, w, sm_ref[0, 4])
 
     # One matmul for every per-point mixture reduction, with the softmax
     # scale applied to the [16,T] RESULT rather than the [K,T] operand:
     # aux rows 0-2 = mu^T, 3-8 = A6^T (packed precisions), 9-11 = b3^T.
     # Fast path: aux hi/lo stacked on the output rows ([32,K] @ [K,T] ->
-    # [32,T], summed 16+16), e rounded to a single bf16 (RNE noise averages
-    # out over the K-deep contraction). One matmul unit.
-    if aux_ref.dtype == _BF16:
+    # [32,T], summed 16+16), e consumed at bf16 (RNE noise averages out
+    # over the K-deep contraction). One matmul unit.
+    if fast:
         red2 = jnp.dot(
-            aux_ref[:], e.astype(_BF16), preferred_element_type=_F32,
-            precision=jax.lax.Precision.DEFAULT,
+            aux_ref[:], e, preferred_element_type=_F32, precision=_LO
         )  # [32, T]
         red = (red2[0:16] + red2[16:32]) * scale  # [16, T]
     else:
@@ -571,7 +702,6 @@ def _reg_stats_kernel(
     w_eff = scale * sum_e  # [1,T]
 
     dims = (((1,), (1,)), ((), ()))
-    lo_pr = jax.lax.Precision.DEFAULT
 
     # ---- Horn cross-moments: P [4,T] = [x;1], Q [4,T] = [nu; w_eff].
     # Fast path: hi/lo splits stacked on BOTH tiny output axes — one [8,T]
@@ -586,7 +716,7 @@ def _reg_stats_kernel(
         pc = jnp.concatenate([p_hi, p_lo], axis=0)  # [8, T]
         qc = jnp.concatenate([q_hi, q_lo], axis=0)  # [8, T]
         o8 = jax.lax.dot_general(pc, qc, dims, preferred_element_type=_F32,
-                                 precision=lo_pr)  # [8, 8]
+                                 precision=_LO)  # [8, 8]
         horn = o8[0:4, 0:4] + o8[0:4, 4:8] + o8[4:8, 0:4]
     else:
         horn = jax.lax.dot_general(
@@ -623,7 +753,7 @@ def _reg_stats_kernel(
             lhs = jnp.concatenate([j_hi, j_lo], axis=0)  # [12, T]
             rhs = jnp.concatenate([mj_hi, mj_lo, r_hi, r_lo], axis=0)  # [14, T]
             o = jax.lax.dot_general(lhs, rhs, dims, preferred_element_type=_F32,
-                                    precision=lo_pr)  # [12, 14]
+                                    precision=_LO)  # [12, 14]
             a_i = o[0:6, 0:6] + o[0:6, 6:12] + o[6:12, 0:6]
             b_i = o[0:6, 12:13] + o[0:6, 13:14] + o[6:12, 12:13]
             return a_i, b_i
@@ -675,23 +805,21 @@ def reg_stats(
     pts_t = prepare_points(x, point_weights, tile)
     n_pad = pts_t.shape[1]
     t_tile = min(tile, n_pad)
-    wt = prepare_mixture(W, precision=precision)
+    shift = max_logit(W) if precision == "fast" else None
+    wt = prepare_mixture(W, precision=precision, shift=shift)
+    sm = _softmax_scalars(outlier_logit, shift)
     k_pad = wt.shape[0]
     aux = _prepare_aux(mu, A6, b3, precision=precision)
     if aux.shape[1] != k_pad:
         aux = jnp.pad(aux, ((0, 0), (0, k_pad - aux.shape[1])))
-    pose_flat = jnp.concatenate([R.reshape(-1), t.reshape(-1), jnp.zeros(4, _F32)])[
-        None, :
-    ].astype(_F32)
-    # Base-2 domain: real outlier logits scale by LOG2E (NEG_INF floor
-    # stays raw; only its <= NEG_INF dead-check semantics matter).
-    out = jnp.full(
-        (1, 1),
-        NEG_INF if outlier_logit is None else outlier_logit * LOG2E,
-        _F32,
+    pose_flat = _salt_row(
+        jnp.concatenate([R.reshape(-1), t.reshape(-1), jnp.zeros(4, _F32)])[
+            None, :
+        ].astype(_F32)
     )
 
     grid = (n_pad // t_tile,)
+    fast = precision == "fast"
     horn_p, a_p, b_p, ll = pl.pallas_call(
         functools.partial(_reg_stats_kernel, top_k=top_k),
         grid=grid,
@@ -700,7 +828,7 @@ def reg_stats(
             pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(aux.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -715,12 +843,13 @@ def reg_stats(
             jax.ShapeDtypeStruct((1, 1), _F32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(2 * k_pad * 16 * 2 + 2 * 16 * k_pad + 200) * n_pad,
+            flops=(2 * k_pad * (80 if fast else 16) + 2 * 32 * k_pad + 200)
+            * n_pad,
             bytes_accessed=n_pad * 36 + k_pad * 128,
-            transcendentals=(k_pad + 2) * n_pad,
+            transcendentals=k_pad * n_pad,
         ),
         interpret=_interpret(),
-    )(pts_t, pose_flat, wt, aux, out)
+    )(pts_t, pose_flat, wt, aux, sm)
     return RegStats(
         horn=horn_p[0:4, 0:4], A=a_p[0:6, 0:6], b=b_p[0:6, 0], loglik=ll[0, 0]
     )

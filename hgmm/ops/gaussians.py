@@ -44,8 +44,13 @@ PHI_PAD = 16  # padded feature width: multiple of 8 sublanes, MXU-friendly
 LOG_2PI = 1.8378770664093453
 
 # Index maps between the 6 packed symmetric entries and [3,3] matrices.
-_SYM_I = jnp.array([0, 1, 2, 0, 0, 1])
-_SYM_J = jnp.array([0, 1, 2, 1, 2, 2])
+# numpy (not jnp) so importing this module never initializes a JAX backend —
+# required by jax.distributed.initialize in multi-process programs
+# (tests/_mp_worker.py).
+import numpy as _np  # noqa: E402
+
+_SYM_I = _np.array([0, 1, 2, 0, 0, 1])
+_SYM_J = _np.array([0, 1, 2, 1, 2, 2])
 
 
 class MixtureParams(NamedTuple):
@@ -141,11 +146,18 @@ def precision_terms(params: MixtureParams) -> tuple[jax.Array, jax.Array, jax.Ar
     Components with pi == 0 get c = +inf (log-weight -inf) so they never win.
     """
     A, logdet = _inv_and_logdet_3x3(params.sigma)
-    b = jnp.einsum("kij,kj->ki", A, params.mu)
+    # Elementwise contractions, NOT einsum: on TPU, einsum lowers to
+    # dot_general at DEFAULT precision (bf16 operands), and with collapsed
+    # covariances (A entries ~1/cov_reg) the ~2^-8 relative rounding is
+    # thousands of nats of absolute logit error — enough to break the
+    # global-shift softmax bound and overflow exp2 (observed on-chip as a
+    # level-2 tree-fit inf/NaN collapse). These are [K,3,3]-sized, so the
+    # VPU does them exactly in f32 for free.
+    b = jnp.sum(A * params.mu[:, None, :], axis=-1)
     # Finite floor (not -inf): keeps 0*inf NaNs out of the feature matmul
     # while still pushing pi=0 components below the NEG_INF mask threshold.
     log_pi = jnp.where(params.pi > 0, jnp.log(jnp.maximum(params.pi, 1e-38)), -1e30)
-    c = jnp.einsum("ki,ki->k", params.mu, b) + logdet + 3.0 * LOG_2PI - 2.0 * log_pi
+    c = jnp.sum(params.mu * b, axis=-1) + logdet + 3.0 * LOG_2PI - 2.0 * log_pi
     return A, b, c
 
 
@@ -173,6 +185,37 @@ def pack_loglik_weights(params: MixtureParams, pad: int | None = None) -> jax.Ar
     if pad is not None and pad > PHI_DIM:
         W = jnp.pad(W, ((0, pad - PHI_DIM), (0, 0)))
     return W
+
+
+def max_logit(W: jax.Array) -> jax.Array:
+    """Scalar upper bound on log[pi_j N(y)] over ALL y and components.
+
+    For each component the quadratic logit -1/2 (y^T A y - 2 b.y + c) peaks
+    at y* = A^-1 b with value -1/2 (c - b^T A^-1 b) = log pi_j
+    - 1/2 logdet Sigma_j - 3/2 log 2pi. The max over j is the global shift
+    the fused kernels fold into the packed weights so the softmax runs
+    WITHOUT a per-column max pass (hgmm.ops.fused_em "fast" path): shifted
+    logits are <= ~0, so exp2 never overflows, and the shift being an upper
+    bound (not the per-column max) only costs underflow range, documented
+    there. O(K) trace-time math, hoisted out of EM scans by XLA.
+    """
+    A = sym_unpack(
+        jnp.stack(
+            [W[0], W[1], W[2], 0.5 * W[3], 0.5 * W[4], 0.5 * W[5]], axis=-1
+        )
+    )  # [K, 3, 3]
+    b = -0.5 * W[6:9].T  # [K, 3]
+    c = W[9]
+    Ainv, _ = _inv_and_logdet_3x3(A)
+    # Elementwise, not einsum: einsum would hit the MXU at bf16 DEFAULT
+    # precision on TPU and G MUST be a true upper bound (see precision_terms).
+    btAib = jnp.sum(b[:, :, None] * Ainv * b[:, None, :], axis=(1, 2))
+    # f32 slack: c - btAib is a catastrophic cancellation for peaked
+    # components (both terms ~ mu^T A mu >> result); pad G by the worst-case
+    # cancellation error so it stays an UPPER bound. exp2 has ~127 octaves of
+    # overflow headroom, so a few spare nats cost nothing.
+    slack = 4e-7 * jnp.abs(btAib) + 1e-3
+    return jnp.max(-0.5 * (c - btAib) + slack)
 
 
 def unpack_suffstats(S: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -216,9 +259,18 @@ def mstep_update(
     from its segmented reductions; SURVEY.md §8 "covariance PSD maintenance").
     """
     dtype = T1.dtype
-    safe_T0 = jnp.maximum(T0, min_weight)
+    # Empty floor is RELATIVE to the data mass: a component holding less
+    # than ~1e-6 of the total weight is numerically meaningless — its
+    # mu = T1/T0 amplifies kernel round-off into arbitrarily large garbage,
+    # which then poisons the global softmax shift (gaussians.max_logit is a
+    # max over components) and can kill an entire tree level (observed
+    # on-chip). Zero it out: pi = 0 components are inert everywhere (their
+    # packed logit sits below the mask floor).
+    floor = jnp.maximum(jnp.asarray(min_weight, dtype), 1e-6 * total_weight)
+    empty = T0 <= floor
+    safe_T0 = jnp.maximum(T0, floor)
     pi = T0 / total_weight
-    mu = T1 / safe_T0[:, None]
+    mu = jnp.where(empty[:, None], 0.0, T1 / safe_T0[:, None])
     sigma = T2 / safe_T0[:, None, None] - jnp.einsum("ki,kj->kij", mu, mu)
     if cov_type == "iso":
         var = jnp.trace(sigma, axis1=-2, axis2=-1) / 3.0
@@ -227,7 +279,6 @@ def mstep_update(
         diag = jnp.diagonal(sigma, axis1=-2, axis2=-1)  # [K, 3]
         sigma = diag[..., None] * jnp.eye(3, dtype=dtype)
     sigma = sigma + cov_reg * jnp.eye(3, dtype=dtype)
-    empty = T0 <= min_weight
     sigma = jnp.where(empty[:, None, None], jnp.eye(3, dtype=dtype), sigma)
     sigma = psd_project(sigma, floor=jnp.maximum(cov_reg, 1e-9))
     pi = jnp.where(empty, 0.0, pi)

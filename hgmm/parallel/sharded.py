@@ -209,7 +209,7 @@ class ShardedRegResult(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: int):
-    n_horn = n_iters // 2 if method == "horn+wls" else (n_iters if method == "horn" else 0)
+    from hgmm.pipelines.register import run_registration_scan
 
     @jax.jit
     def run(source, weights, params: MixtureParams, R0, t0, tol, outlier):
@@ -232,42 +232,9 @@ def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: i
             st = _psum_tree(st)
             return st.horn, st.A, st.b, st.loglik
 
-        def step(carry, it):
-            R, t, done = carry
-            pose = Pose(R, t)
-            horn, A, b, ll = stats_fn(source, weights, W, mu, A6, b3, R, t, outlier)
-            horn_pose = solve_horn(horn)
-
-            def wls_pose():
-                p = pose
-                p = apply_wls_increment(p, solve_wls_increment(A, b))
-                for _ in range(wls_inner - 1):
-                    _, A2, b2, _ = stats_fn(
-                        source, weights, W, mu, A6, b3, p.R, p.t, outlier
-                    )
-                    p = apply_wls_increment(p, solve_wls_increment(A2, b2))
-                return p
-
-            if method == "horn":
-                new_pose = horn_pose
-            elif method == "wls":
-                new_pose = wls_pose()
-            else:
-                use_horn = it < n_horn
-                wp = wls_pose()
-                new_pose = Pose(
-                    jnp.where(use_horn, horn_pose.R, wp.R),
-                    jnp.where(use_horn, horn_pose.t, wp.t),
-                )
-            delta = jnp.linalg.norm(se3_log(new_pose.compose(pose.inverse())))
-            new_done = done | (delta < tol)
-            R_out = jnp.where(done, R, new_pose.R)
-            t_out = jnp.where(done, t, new_pose.t)
-            return (R_out, t_out, new_done), (ll, jnp.where(done, 0.0, delta))
-
-        carry0 = (R0, t0, jnp.zeros((), bool))
-        (R, t, done), (lls, deltas) = jax.lax.scan(
-            step, carry0, jnp.arange(n_iters)
+        (R, t, done), lls, deltas = run_registration_scan(
+            lambda R, t: stats_fn(source, weights, W, mu, A6, b3, R, t, outlier),
+            R0, t0, n_iters, method, tol, wls_inner,
         )
         return R, t, done, lls, deltas
 

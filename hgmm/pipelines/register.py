@@ -44,6 +44,80 @@ class RegistrationResult(typing.NamedTuple):
     converged: jax.Array  # [] bool
 
 
+def run_registration_scan(
+    stats_fn,
+    init_R: jax.Array,
+    init_t: jax.Array,
+    n_iters: int,
+    method: str,
+    tol,
+    wls_inner: int,
+):
+    """The shared registration iterate: TWO lax.scan phases (Horn, then WLS
+    Gauss-Newton) so neither phase ever executes the other solver's kernels,
+    plus a lax.cond that skips ALL per-iteration work once converged —
+    converged iterations cost one branch, not a fused E-step.
+
+    stats_fn(R, t) -> (horn [4,4], A [6,6], b [6], loglik []) — the
+    registration E-step statistics at the given pose (sharded callers pass a
+    shard_map+psum wrapper; single-device callers pass ops.reg_stats).
+    Iterations after convergence record loglik = delta = 0.
+
+    Returns ((R, t, done), logliks [n_iters], deltas [n_iters]).
+    """
+    assert method in ("horn", "wls", "horn+wls"), method
+    n_horn = (
+        n_iters // 2 if method == "horn+wls"
+        else (n_iters if method == "horn" else 0)
+    )
+    n_wls = n_iters - n_horn
+
+    def _live(solver):
+        def live(R, t):
+            horn, A, b, ll = stats_fn(R, t)
+            if solver == "horn":
+                new_pose = solve_horn(horn)
+            else:
+                p = apply_wls_increment(Pose(R, t), solve_wls_increment(A, b))
+                # A few Gauss-Newton inner steps, refreshing associations
+                # each time (associations are cheap: same fused kernel).
+                for _ in range(wls_inner - 1):
+                    _, A2, b2, _ = stats_fn(p.R, p.t)
+                    p = apply_wls_increment(p, solve_wls_increment(A2, b2))
+                new_pose = p
+            delta = jnp.linalg.norm(se3_log(new_pose.compose(Pose(R, t).inverse())))
+            return new_pose.R, new_pose.t, delta, ll
+
+        return live
+
+    def _step(solver):
+        live = _live(solver)
+
+        def step(carry, _):
+            R, t, done = carry
+            R2, t2, delta, ll = jax.lax.cond(
+                done,
+                lambda R, t: (R, t, jnp.zeros((), R.dtype), jnp.zeros((), R.dtype)),
+                live,
+                R, t,
+            )
+            return (R2, t2, done | (delta < tol)), (ll, delta)
+
+        return step
+
+    carry = (init_R, init_t, jnp.zeros((), bool))
+    lls, deltas = [], []
+    if n_horn:
+        carry, (ll_h, d_h) = jax.lax.scan(_step("horn"), carry, None, length=n_horn)
+        lls.append(ll_h)
+        deltas.append(d_h)
+    if n_wls:
+        carry, (ll_w, d_w) = jax.lax.scan(_step("wls"), carry, None, length=n_wls)
+        lls.append(ll_w)
+        deltas.append(d_w)
+    return carry, jnp.concatenate(lls), jnp.concatenate(deltas)
+
+
 def model_terms(params: MixtureParams):
     """Precompute the per-component terms every registration iteration
     reuses: W [10,K] packed logits, mu [K,3], A6 [K,6] packed precisions,
@@ -73,51 +147,15 @@ def register_points(
     if init_pose is None:
         init_pose = Pose.identity(source.dtype)
     W, mu, A6, b3 = model_terms(params)
-    n_horn = n_iters // 2 if method == "horn+wls" else (n_iters if method == "horn" else 0)
 
-    def step(carry, it):
-        R, t, done = carry
-        pose = Pose(R, t)
-        stats = ops.reg_stats(
+    def stats_fn(R, t):
+        st = ops.reg_stats(
             source, W, mu, A6, b3, (R, t), point_weights, top_k, outlier_logit
         )
-        horn_pose = solve_horn(stats.horn)
+        return st.horn, st.A, st.b, st.loglik
 
-        def wls_pose():
-            p = pose
-            # A few Gauss-Newton inner steps, refreshing associations each
-            # time (associations are cheap: same fused kernel).
-            xi = solve_wls_increment(stats.A, stats.b)
-            p = apply_wls_increment(p, xi)
-            for _ in range(wls_inner - 1):
-                s2 = ops.reg_stats(
-                    source, W, mu, A6, b3, (p.R, p.t), point_weights, top_k,
-                    outlier_logit,
-                )
-                p = apply_wls_increment(p, solve_wls_increment(s2.A, s2.b))
-            return p
-
-        if method == "horn":
-            new_pose = horn_pose
-        elif method == "wls":
-            new_pose = wls_pose()
-        else:  # horn+wls schedule
-            use_horn = it < n_horn
-            wp = wls_pose()
-            new_pose = Pose(
-                jnp.where(use_horn, horn_pose.R, wp.R),
-                jnp.where(use_horn, horn_pose.t, wp.t),
-            )
-
-        delta = jnp.linalg.norm(se3_log(new_pose.compose(pose.inverse())))
-        new_done = done | (delta < tol)
-        R_out = jnp.where(done, R, new_pose.R)
-        t_out = jnp.where(done, t, new_pose.t)
-        return (R_out, t_out, new_done), (stats.loglik, jnp.where(done, 0.0, delta))
-
-    carry0 = (init_pose.R, init_pose.t, jnp.zeros((), dtype=bool))
-    (R, t, done), (logliks, deltas) = jax.lax.scan(
-        step, carry0, jnp.arange(n_iters)
+    (R, t, done), logliks, deltas = run_registration_scan(
+        stats_fn, init_pose.R, init_pose.t, n_iters, method, tol, wls_inner
     )
     return RegistrationResult(
         pose=Pose(R, t), logliks=logliks, deltas=deltas, converged=done

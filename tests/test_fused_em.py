@@ -67,6 +67,58 @@ def test_em_stats_weights_and_outlier():
     np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
 
 
+@pytest.mark.parametrize("precision", ["fast", "strict"])
+def test_em_stats_outlier_dominated(precision):
+    """Round-1 advisor finding: when the outlier logit exceeds every
+    Gaussian logit by far (points >>sigma from all components — the regime
+    outlier gating targets), lse must converge to the outlier logit, not
+    saturate at a clamp. Stats stay ~0 either way."""
+    params = _mixture(jax.random.PRNGKey(30), 8)
+    # Points 50+ units away from every component: gaussian logits ~ -1e4.
+    pts = _points(jax.random.PRNGKey(31), 128) + 50.0
+    W = pack_loglik_weights(params)
+    for outlier in (-3.0, -80.0):
+        ref = em_ref.em_stats(pts, W, outlier_logit=outlier)
+        got = fused_em.em_stats(
+            pts, W, outlier_logit=outlier, tile=128, precision=precision
+        )
+        np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+        np.testing.assert_allclose(got.S, ref.S, atol=1e-6)
+
+
+def test_em_stats_far_point_mixed():
+    """One far point among normal ones, WITH an outlier component: the far
+    column is outlier-dominated (exact in both paths); near columns match
+    the dense twin as usual."""
+    params = _mixture(jax.random.PRNGKey(32), 16)
+    pts = _points(jax.random.PRNGKey(33), 255)
+    pts = jnp.concatenate([pts, jnp.full((1, 3), 40.0)], axis=0)
+    W = pack_loglik_weights(params)
+    ref = em_ref.em_stats(pts, W, outlier_logit=-5.0)
+    got = fused_em.em_stats(pts, W, outlier_logit=-5.0, tile=128)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
+
+
+def test_reg_stats_outlier_dominated():
+    """Registration twin of the advisor case: far source cloud + outlier."""
+    params = _mixture(jax.random.PRNGKey(34), 8)
+    pts = _points(jax.random.PRNGKey(35), 128) + 30.0
+    pose = random_pose(jax.random.PRNGKey(36))
+    W = pack_loglik_weights(params)
+    A, b, _ = precision_terms(params)
+    ref = em_ref.reg_stats(
+        pts, W, params.mu, sym_pack(A), b, (pose.R, pose.t), outlier_logit=-2.0
+    )
+    got = fused_em.reg_stats(
+        pts, W, params.mu, sym_pack(A), b, (pose.R, pose.t),
+        outlier_logit=-2.0, tile=128,
+    )
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-4)
+    np.testing.assert_allclose(got.A, ref.A, atol=1e-4)
+    np.testing.assert_allclose(got.b, ref.b, atol=1e-4)
+
+
 def test_em_stats_masked_equivalence():
     params = _mixture(jax.random.PRNGKey(5), 32)  # 4 parents x 8 children
     pts = _points(jax.random.PRNGKey(6), 300)
