@@ -89,8 +89,14 @@ def cmd_register(args) -> None:
 
 
 def cmd_odometry(args) -> None:
-    from hgmm.data.kitti import sequence_scan_paths, load_velodyne_bin
+    from hgmm.data.kitti import (
+        load_calib_velo_to_cam,
+        load_poses,
+        load_velodyne_bin,
+        sequence_scan_paths,
+    )
     from hgmm.pipelines.odometry import OdometryConfig, refine_odometry, run_odometry
+    from hgmm.utils.profiling import MetricsLog
 
     paths = sequence_scan_paths(args.sequence)
     if args.max_frames:
@@ -102,10 +108,18 @@ def cmd_odometry(args) -> None:
         bucket=args.bucket,
         fit_iters=args.fit_iters,
         reg_iters=args.reg_iters,
+        complexity_threshold=args.complexity_threshold,
+        outlier_logit=(
+            None if args.outlier_logit != args.outlier_logit else args.outlier_logit
+        ),
     )
+    metrics = MetricsLog(args.metrics) if args.metrics else None
+    t0 = time.perf_counter()
     res = run_odometry(
-        scans, cfg, checkpoint_path=args.checkpoint, checkpoint_every=10
+        scans, cfg, checkpoint_path=args.checkpoint, checkpoint_every=10,
+        metrics=metrics,
     )
+    dt = time.perf_counter() - t0
     if args.refine:
         refined = refine_odometry(res)
         traj = np.asarray(refined.t)
@@ -113,7 +127,23 @@ def cmd_odometry(args) -> None:
         traj = np.stack([np.asarray(p.t) for p in res.abs_poses])
     out = args.out or "trajectory.npy"
     np.save(out, traj)
-    print(f"{len(res.abs_poses)} poses -> {out}")
+    print(f"{len(res.abs_poses)} poses in {dt:.1f}s -> {out}")
+
+    if args.poses:
+        # ATE against KITTI ground truth (BASELINE.json "KITTI pair ATE").
+        from hgmm.eval.metrics import kitti_ate
+
+        seq = Path(args.sequence)
+        calib_path = args.calib or (seq / "calib.txt")
+        gt = load_poses(args.poses)
+        calib = load_calib_velo_to_cam(calib_path)
+        err = float(kitti_ate(res.abs_poses, gt, calib))
+        print(f"ATE vs ground truth: {err:.4f} m over {len(res.abs_poses)} frames")
+        if metrics is not None:
+            metrics.log(
+                {"event": "ate", "ate_m": err, "frames": len(res.abs_poses),
+                 "wall_s": dt}
+            )
 
 
 def cmd_icp(args) -> None:
@@ -165,9 +195,17 @@ def main(argv=None) -> None:
     o.add_argument("--bucket", type=int, default=16384)
     o.add_argument("--fit-iters", type=int, default=10)
     o.add_argument("--reg-iters", type=int, default=30)
+    o.add_argument("--complexity-threshold", type=float, default=0.0)
+    o.add_argument(
+        "--outlier-logit", type=float, default=-8.0,
+        help="uniform outlier log-density (see OdometryConfig); nan disables",
+    )
     o.add_argument("--checkpoint", default=None)
     o.add_argument("--refine", action="store_true")
     o.add_argument("--out", default=None)
+    o.add_argument("--poses", default=None, help="KITTI poses.txt for ATE eval")
+    o.add_argument("--calib", default=None, help="calib.txt (default: sequence dir)")
+    o.add_argument("--metrics", default=None, help="JSONL metrics sink path")
     o.set_defaults(fn=cmd_odometry)
 
     i = sub.add_parser("icp", help="ICP baseline registration")

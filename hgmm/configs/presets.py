@@ -69,7 +69,15 @@ CONFIG4_KITTI = RegistrationPreset(
     levels=3,
     fit_iters=10,
     reg_iters=30,
-    outlier_logit=0.0,
+    # Damped Mahalanobis WLS: the exact anisotropic M-step. The isotropic
+    # Horn surrogate is structurally biased on plane-dominated LiDAR
+    # mixtures and diverges (measured on the kitti_mini fixture: loglik
+    # strictly decreases under horn steps, while WLS converges from
+    # identity in <10 iters).
+    method="wls",
+    # Uniform-outlier log-density ~ log(p_out / scene volume): metric
+    # scenes need ~ -8 (0.0 drowned every Gaussian at LiDAR scale).
+    outlier_logit=-8.0,
 )
 
 # Config 5: multi-host distributed [BASELINE.json:11] — same presets, run

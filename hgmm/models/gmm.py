@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from hgmm import ops
-from hgmm.ops.gaussians import MixtureParams, mstep_update, pack_loglik_weights
+from hgmm.ops.gaussians import (
+    MixtureParams,
+    max_logit_params,
+    mstep_update,
+    pack_loglik_weights,
+)
 
 
 def init_params(points: jax.Array, k: int, key: jax.Array) -> MixtureParams:
@@ -58,7 +63,9 @@ def em_fit(
 
     def step(params: MixtureParams, _):
         W = pack_loglik_weights(params)
-        stats = ops.em_stats(points, W, point_weights)
+        stats = ops.em_stats(
+            points, W, point_weights, shift=max_logit_params(params)
+        )
         T0, T1, T2 = ops.unpack_suffstats(stats.S)
         new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
         return new, stats.loglik
@@ -70,7 +77,7 @@ def em_fit(
 def log_likelihood(params: MixtureParams, points: jax.Array) -> jax.Array:
     """Mean per-point log-likelihood under the mixture."""
     W = pack_loglik_weights(params)
-    stats = ops.em_stats(points, W)
+    stats = ops.em_stats(points, W, shift=max_logit_params(params))
     return stats.loglik / points.shape[0]
 
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from hgmm import ops
 from hgmm.ops.gaussians import (
     MixtureParams,
+    max_logit_params,
     mstep_update,
     pack_loglik_weights,
 )
@@ -114,7 +115,10 @@ def _fit_tree(
 
         def em_step(p: MixtureParams, _):
             W = pack_loglik_weights(p)
-            stats = ops.em_stats_masked(points, W, parent, branch, point_weights)
+            stats = ops.em_stats_masked(
+                points, W, parent, branch, point_weights,
+                shift=max_logit_params(p),
+            )
             T0, T1, T2 = ops.unpack_suffstats(stats.S)
             new = mstep_update(
                 T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type

@@ -39,12 +39,31 @@ def solve_horn(horn: jax.Array, min_weight: float = 1e-9) -> Pose:
 
 
 def solve_wls_increment(
-    A: jax.Array, b: jax.Array, damping: float = 1e-6
+    A: jax.Array,
+    b: jax.Array,
+    damping: float = 1e-6,
+    marquardt: float = 1e-2,
+    max_rot: float = 0.3,
 ) -> jax.Array:
     """Solve the Mahalanobis Gauss-Newton normal equations for the se(3)
-    twist increment xi (Levenberg damping on the diagonal for safety)."""
-    A = A + damping * jnp.eye(6, dtype=A.dtype) * jnp.maximum(jnp.trace(A) / 6.0, 1.0)
-    return jnp.linalg.solve(A, b)
+    twist increment xi.
+
+    Robustness (anisotropic scenes): plane-dominated mixtures make A nearly
+    singular along the planes, and the raw GN step overshoots those weak
+    directions far beyond the association basin (observed as odometry
+    divergence on ground-plane-heavy LiDAR scenes). Marquardt damping
+    (lambda * diag A) shrinks each direction's step relative to its own
+    curvature, and the rotation-norm trust region caps the remaining
+    worst case; both vanish as the solve converges (b -> 0)."""
+    diag = jnp.diagonal(A)
+    lm = marquardt * jnp.diag(jnp.maximum(diag, 1e-12 * jnp.sum(diag)))
+    A = A + lm + damping * jnp.eye(6, dtype=A.dtype) * jnp.maximum(
+        jnp.trace(A) / 6.0, 1.0
+    )
+    xi = jnp.linalg.solve(A, b)
+    rot = jnp.linalg.norm(xi[:3])
+    scale = jnp.minimum(1.0, max_rot / jnp.maximum(rot, 1e-12))
+    return xi * scale
 
 
 def apply_wls_increment(pose: Pose, xi: jax.Array) -> Pose:

@@ -46,21 +46,30 @@ def _pallas_active() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def em_stats(points, W, point_weights=None, outlier_logit=None) -> EmStats:
-    """E-step + sufficient-stat reduction. See em_ref.em_stats."""
+def em_stats(points, W, point_weights=None, outlier_logit=None, shift=None) -> EmStats:
+    """E-step + sufficient-stat reduction. See em_ref.em_stats.
+
+    shift: optional exact global logit bound (gaussians.max_logit_params) —
+    REQUIRED for numerical robustness whenever the mixture may carry
+    collapsed covariances (iterated fits); ignored by the dense twin."""
     if _pallas_active():
         from hgmm.ops import fused_em
 
-        return fused_em.em_stats(points, W, point_weights, outlier_logit)
+        return fused_em.em_stats(points, W, point_weights, outlier_logit,
+                                 shift=shift)
     return em_ref.em_stats(points, W, point_weights, outlier_logit)
 
 
-def em_stats_masked(points, W, parent, branch, point_weights=None) -> EmStats:
+def em_stats_masked(
+    points, W, parent, branch, point_weights=None, shift=None
+) -> EmStats:
     """Tree-fit E-step masked to each point's parent's child block."""
     if _pallas_active():
         from hgmm.ops import fused_em
 
-        return fused_em.em_stats_masked(points, W, parent, branch, point_weights)
+        return fused_em.em_stats_masked(
+            points, W, parent, branch, point_weights, shift=shift
+        )
     return em_ref.em_stats_masked(points, W, parent, branch, point_weights)
 
 
@@ -74,7 +83,8 @@ def assign(points, W, parent=None, branch=None):
 
 
 def reg_stats(
-    x, W, mu, A6, b3, pose, point_weights=None, top_k=None, outlier_logit=None
+    x, W, mu, A6, b3, pose, point_weights=None, top_k=None, outlier_logit=None,
+    shift=None,
 ) -> RegStats:
     """Registration E-step statistics (Horn moments + GN normal equations).
 
@@ -84,7 +94,7 @@ def reg_stats(
 
         return fused_em.reg_stats(
             x, W, mu, A6, b3, pose=pose, point_weights=point_weights,
-            top_k=top_k, outlier_logit=outlier_logit,
+            top_k=top_k, outlier_logit=outlier_logit, shift=shift,
         )
     return em_ref.reg_stats(
         x, W, mu, A6, b3, pose, point_weights, top_k, outlier_logit

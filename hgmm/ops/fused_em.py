@@ -489,7 +489,8 @@ def _em_stats_call(
     in_specs = [
         pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((k_pad, w_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        # Full (salted) row: SMEM blocks must cover the whole array.
+        pl.BlockSpec(sm.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     args = [phiw, wt, sm]
     kw = {"branch": branch}
@@ -549,7 +550,7 @@ def _em_stats_call(
     return s_out.T, ll_out[0, 0]
 
 
-def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
+def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION, shift=None):
     """Pallas twin of em_ref.em_stats. Accepts [N,3] points or a prepared
     [8, N_pad] buffer from prepare_points. The feature buffers built by
     prepare_phi and the global shift are pure functions of the
@@ -557,7 +558,10 @@ def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TIL
     loops automatically."""
     k = W.shape[1]
     phiw, phi48 = prepare_phi(points, point_weights, tile, precision)
-    shift = max_logit(W) if precision == "fast" else None
+    if precision != "fast":
+        shift = None
+    elif shift is None:
+        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(outlier_logit, shift)
     s, ll = _em_stats_call(phiw, phi48, wt, sm, tile=tile)
@@ -566,7 +570,7 @@ def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TIL
 
 def em_stats_masked(
     points, W, parent, branch, point_weights=None, tile=DEFAULT_TILE,
-    precision=DEFAULT_PRECISION,
+    precision=DEFAULT_PRECISION, shift=None,
 ):
     """Pallas twin of em_ref.em_stats_masked (tree-fit child masking)."""
     k = W.shape[1]
@@ -574,7 +578,10 @@ def em_stats_masked(
     n_pad = phiw.shape[1]
     par = parent.astype(jnp.int32)
     par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
-    shift = max_logit(W) if precision == "fast" else None
+    if precision != "fast":
+        shift = None
+    elif shift is None:
+        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(None, shift)
     s, ll = _em_stats_call(
@@ -796,7 +803,7 @@ def _prepare_aux(mu, A6, b3, precision: str = DEFAULT_PRECISION):
 
 def reg_stats(
     x, W, mu, A6, b3, pose, point_weights=None, top_k=None, outlier_logit=None,
-    tile=DEFAULT_TILE, precision=DEFAULT_PRECISION,
+    tile=DEFAULT_TILE, precision=DEFAULT_PRECISION, shift=None,
 ):
     """Pallas twin of em_ref.reg_stats. The pose (R, t) is applied IN-KERNEL
     (SMEM scalars), so the [8, N_pad] source buffer from prepare_points is
@@ -805,7 +812,10 @@ def reg_stats(
     pts_t = prepare_points(x, point_weights, tile)
     n_pad = pts_t.shape[1]
     t_tile = min(tile, n_pad)
-    shift = max_logit(W) if precision == "fast" else None
+    if precision != "fast":
+        shift = None
+    elif shift is None:
+        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(outlier_logit, shift)
     k_pad = wt.shape[0]
@@ -825,10 +835,10 @@ def reg_stats(
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, t_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(pose_flat.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(aux.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sm.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -187,6 +187,29 @@ def pack_loglik_weights(params: MixtureParams, pad: int | None = None) -> jax.Ar
     return W
 
 
+def max_logit_params(params: MixtureParams) -> jax.Array:
+    """Exact, cancellation-free global logit upper bound from raw mixture
+    parameters: max_j sup_y log[pi_j N(y)] = max_j log pi_j
+    - 1/2 logdet Sigma_j - 3/2 log 2pi.
+
+    THIS is the shift production code must fold into the fused kernels
+    (ops.em_stats(..., shift=...)): recovering the same bound from the
+    packed W (max_logit below) requires b^T A^-1 b, whose double 3x3
+    inversion at condition number ~1/cov_reg carries eps*kappa relative
+    error — observed on-chip as a ~1e5-nat bound violation that overflowed
+    exp2 and killed whole tree levels. The direct formula has no
+    cancellation at all.
+    """
+    _, logdet = _inv_and_logdet_3x3(params.sigma)
+    log_pi = jnp.where(
+        params.pi > 0, jnp.log(jnp.maximum(params.pi, 1e-38)), -1e30
+    )
+    g = log_pi - 0.5 * logdet - 1.5 * LOG_2PI
+    # Floor keeps an all-dead mixture from dragging the shift to -1e30
+    # (shifted dead logits would become +inf); see max_logit.
+    return jnp.maximum(jnp.max(g) + 1e-3, -1e8)
+
+
 def max_logit(W: jax.Array) -> jax.Array:
     """Scalar upper bound on log[pi_j N(y)] over ALL y and components.
 
@@ -198,6 +221,12 @@ def max_logit(W: jax.Array) -> jax.Array:
     logits are <= ~0, so exp2 never overflows, and the shift being an upper
     bound (not the per-column max) only costs underflow range, documented
     there. O(K) trace-time math, hoisted out of EM scans by XLA.
+
+    FALLBACK ONLY — accurate for well-conditioned mixtures (raw-W callers:
+    tests, bench). The c - b^T A^-1 b cancellation loses eps * cond(A)
+    relative accuracy, which for collapsed covariances (cond ~ 1/cov_reg)
+    is catastrophic; production paths that iterate mixtures MUST pass
+    shift=max_logit_params(params) into the ops instead.
     """
     A = sym_unpack(
         jnp.stack(
@@ -215,7 +244,11 @@ def max_logit(W: jax.Array) -> jax.Array:
     # cancellation error so it stays an UPPER bound. exp2 has ~127 octaves of
     # overflow headroom, so a few spare nats cost nothing.
     slack = 4e-7 * jnp.abs(btAib) + 1e-3
-    return jnp.max(-0.5 * (c - btAib) + slack)
+    # Floor: an all-dead mixture (every pi = 0, c ~ +2e30) would otherwise
+    # yield G ~ -1e30 and push shifted logits to +inf; with the floor, dead
+    # logits stay ~-1e30 below the shift and the E-step degrades gracefully
+    # to zero stats / zero loglik instead of inf/NaN.
+    return jnp.maximum(jnp.max(-0.5 * (c - btAib) + slack), -1e8)
 
 
 def unpack_suffstats(S: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -29,6 +29,7 @@ from hgmm.models.pose import apply_wls_increment, solve_horn, solve_wls_incremen
 from hgmm.models.se3 import Pose, se3_log
 from hgmm.ops.gaussians import (
     MixtureParams,
+    max_logit_params,
     mstep_update,
     pack_loglik_weights,
     precision_terms,
@@ -67,17 +68,17 @@ def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None)),
+            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None), P()),
             out_specs=(P(None, None), P()),
         )
-        def stats_fn(pts, w, W):
-            st = ops.em_stats(pts, W, w)
+        def stats_fn(pts, w, W, shift):
+            st = ops.em_stats(pts, W, w, shift=shift)
             st = _psum_tree(st)
             return st.S, st.loglik
 
         def step(params, _):
             W = pack_loglik_weights(params)
-            S, ll = stats_fn(points, weights, W)
+            S, ll = stats_fn(points, weights, W, max_logit_params(params))
             T0, T1, T2 = ops.unpack_suffstats(S)
             new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
             return new, ll
@@ -114,17 +115,17 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(_AXIS, None), P(_AXIS), P(_AXIS), P(None, None)),
+            in_specs=(P(_AXIS, None), P(_AXIS), P(_AXIS), P(None, None), P()),
             out_specs=(P(None, None), P()),
         )
-        def stats_fn(pts, w, par, W):
-            st = ops.em_stats_masked(pts, W, par, branch, w)
+        def stats_fn(pts, w, par, W, shift):
+            st = ops.em_stats_masked(pts, W, par, branch, w, shift=shift)
             st = _psum_tree(st)
             return st.S, st.loglik
 
         def step(params, _):
             W = pack_loglik_weights(params)
-            S, ll = stats_fn(points, weights, parent, W)
+            S, ll = stats_fn(points, weights, parent, W, max_logit_params(params))
             T0, T1, T2 = ops.unpack_suffstats(S)
             new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
             return new, ll
@@ -217,28 +218,62 @@ def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: i
         A_, b_, _ = precision_terms(params)
         A6, b3 = sym_pack(A_), b_
         mu = params.mu
+        shift = max_logit_params(params)
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P(_AXIS, None), P(_AXIS), P(None, None), P(None, None),
-                      P(None, None), P(None, None), P(None, None), P(None), P()),
+                      P(None, None), P(None, None), P(None, None), P(None), P(),
+                      P()),
             out_specs=(P(None, None), P(None, None), P(None), P()),
         )
-        def stats_fn(x, w, Wm, mu_m, A6_m, b3_m, R, t, out_l):
+        def stats_fn(x, w, Wm, mu_m, A6_m, b3_m, R, t, out_l, sh):
             st = ops.reg_stats(
-                x, Wm, mu_m, A6_m, b3_m, (R, t), w, top_k, out_l
+                x, Wm, mu_m, A6_m, b3_m, (R, t), w, top_k, out_l, shift=sh
             )
             st = _psum_tree(st)
             return st.horn, st.A, st.b, st.loglik
 
         (R, t, done), lls, deltas = run_registration_scan(
-            lambda R, t: stats_fn(source, weights, W, mu, A6, b3, R, t, outlier),
+            lambda R, t: stats_fn(
+                source, weights, W, mu, A6, b3, R, t, outlier, shift
+            ),
             R0, t0, n_iters, method, tol, wls_inner,
         )
         return R, t, done, lls, deltas
 
     return run
+
+
+def sharded_register_tree(
+    source,
+    tree,
+    mesh: Mesh | None = None,
+    init_pose: Pose | None = None,
+    complexity_threshold: float = 0.0,
+    **register_kw,
+) -> "ShardedRegResult":
+    """Distributed twin of pipelines.register.register_tree: coarse-to-fine
+    registration down the tree levels, each level a sharded scan with psum'd
+    pose statistics (see register_tree for why leaves-only fails)."""
+    if mesh is None:
+        mesh = make_mesh()
+    pose = Pose.identity() if init_pose is None else init_pose
+    lls, deltas, res = [], [], None
+    levels = list(tree.levels)
+    for li, params in enumerate(levels):
+        if li == len(levels) - 1 and complexity_threshold > 0.0:
+            params = tree.cut_mixture(complexity_threshold)
+        res = sharded_register_points(
+            source, params, mesh, init_pose=pose, **register_kw
+        )
+        pose = res.pose
+        lls.append(res.logliks)
+        deltas.append(res.deltas)
+    return ShardedRegResult(
+        pose, jnp.concatenate(lls), jnp.concatenate(deltas), res.converged
+    )
 
 
 def sharded_register_points(

@@ -26,7 +26,7 @@ from hgmm.pipelines.pose_graph import (
     odometry_chain_edges,
     refine_pose_graph,
 )
-from hgmm.pipelines.register import register_points
+from hgmm.pipelines.register import register_points, register_tree
 from hgmm.utils import checkpoint as ckpt
 
 
@@ -38,9 +38,17 @@ class OdometryConfig:
     levels: int = 3
     fit_iters: int = 10
     reg_iters: int = 30
-    method: str = "horn+wls"
+    # Damped Mahalanobis WLS: exact anisotropic M-step — the Horn surrogate
+    # is biased/divergent on plane-dominated LiDAR mixtures (see
+    # configs.presets.CONFIG4_KITTI).
+    method: str = "wls"
     top_k: int | None = None
-    outlier_logit: float | None = 0.0
+    # Uniform-outlier LOG-DENSITY. Must sit well BELOW typical in-model
+    # Gaussian log-densities or the outlier absorbs all responsibility mass
+    # and the pose stops updating (for a p_out mass spread over scene volume
+    # V: log(p_out / V) — metric-scale LiDAR scenes need ~ -8, unit-scale
+    # scans ~ -3). None disables outlier gating.
+    outlier_logit: float | None = -8.0
     complexity_threshold: float = 0.0
     voxel: float | None = None  # host-side voxel downsample (meters)
     bucket: int = 16384  # fixed per-frame point budget (pad/subsample)
@@ -67,6 +75,8 @@ def _bucketize(points: np.ndarray, bucket: int, rng: np.random.Generator):
 
 
 def _fit_model(points, weights, cfg: OdometryConfig, key):
+    """Returns a GmmTree (tree kind — registered coarse-to-fine) or flat
+    MixtureParams."""
     if cfg.model_kind == "flat":
         gmm, _ = Gmm.fit(points, k=cfg.k, n_iters=cfg.fit_iters, key=key)
         return gmm.params
@@ -78,7 +88,7 @@ def _fit_model(points, weights, cfg: OdometryConfig, key):
         key=key,
         point_weights=weights,
     )
-    return tree.cut_mixture(cfg.complexity_threshold)
+    return tree
 
 
 def run_odometry(
@@ -87,12 +97,15 @@ def run_odometry(
     checkpoint_path: str | Path | None = None,
     checkpoint_every: int = 10,
     mesh=None,
+    metrics=None,
 ) -> OdometryResult:
     """Sequential scan-to-scan registration. `scans` yields [N_i, 3] arrays
     (use hgmm.data.kitti loaders for real sequences).
 
     mesh: optional jax.sharding.Mesh — per-frame fits and registrations run
     points-sharded over it (config 5 of BASELINE.json: multi-host frames).
+    metrics: optional hgmm.utils.profiling.MetricsLog — per-pair structured
+    JSONL records (SURVEY.md §6.5).
     """
     cfg = config or OdometryConfig()
     from hgmm.data.kitti import voxel_downsample
@@ -130,7 +143,7 @@ def run_odometry(
         init = prev_rel if cfg.warm_start else Pose.identity()
         if mesh is not None:
             from hgmm.parallel.sharded import (
-                sharded_register_points,
+                sharded_register_tree,
                 sharded_tree_fit,
             )
 
@@ -138,17 +151,15 @@ def run_odometry(
                 jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
                 levels=cfg.levels, em_iters=cfg.fit_iters, key=kf,
             )
-            params = tree.cut_mixture(cfg.complexity_threshold)
-            res = sharded_register_points(
-                jnp.asarray(src_pts), params, mesh, init_pose=init,
+            res = sharded_register_tree(
+                jnp.asarray(src_pts), tree, mesh, init_pose=init,
+                complexity_threshold=cfg.complexity_threshold,
                 n_iters=cfg.reg_iters, method=cfg.method, top_k=cfg.top_k,
                 outlier_logit=cfg.outlier_logit,
             )
         else:
-            params = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, kf)
-            res = register_points(
-                jnp.asarray(src_pts),
-                params,
+            model = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, kf)
+            reg_kw = dict(
                 init_pose=init,
                 n_iters=cfg.reg_iters,
                 method=cfg.method,
@@ -156,12 +167,23 @@ def run_odometry(
                 outlier_logit=cfg.outlier_logit,
                 point_weights=jnp.asarray(src_w),
             )
+            if isinstance(model, GmmTree):
+                # Coarse-to-fine down the tree: the leaf basin alone is
+                # smaller than typical frame motion (see register_tree).
+                res = register_tree(
+                    jnp.asarray(src_pts), model,
+                    complexity_threshold=cfg.complexity_threshold, **reg_kw,
+                )
+            else:
+                res = register_points(jnp.asarray(src_pts), model, **reg_kw)
         # res.pose maps source (frame i+1) points into frame i: that IS the
         # pose of frame i+1 expressed in frame i.
         rel = res.pose
         rel_poses.append(rel)
         abs_poses.append(abs_poses[-1].compose(rel))
         logliks.append(float(res.logliks[-1]))
+        if metrics is not None:
+            metrics.log_registration(f"pair_{i}_{i + 1}", res)
         prev_rel = rel
         if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
             ckpt.save_odometry(checkpoint_path, i + 1, rel_poses, abs_poses)

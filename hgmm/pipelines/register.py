@@ -31,6 +31,7 @@ from hgmm.models.pose import (
 from hgmm.models.se3 import Pose, se3_log
 from hgmm.ops.gaussians import (
     MixtureParams,
+    max_logit_params,
     pack_loglik_weights,
     precision_terms,
     sym_pack,
@@ -121,9 +122,13 @@ def run_registration_scan(
 def model_terms(params: MixtureParams):
     """Precompute the per-component terms every registration iteration
     reuses: W [10,K] packed logits, mu [K,3], A6 [K,6] packed precisions,
-    b3 [K,3] = Sigma^-1 mu."""
+    b3 [K,3] = Sigma^-1 mu, shift (exact global logit bound — the fused
+    kernels' softmax shift, gaussians.max_logit_params)."""
     A, b, _ = precision_terms(params)
-    return pack_loglik_weights(params), params.mu, sym_pack(A), b
+    return (
+        pack_loglik_weights(params), params.mu, sym_pack(A), b,
+        max_logit_params(params),
+    )
 
 
 @partial(
@@ -146,11 +151,12 @@ def register_points(
     T(source) ~ target."""
     if init_pose is None:
         init_pose = Pose.identity(source.dtype)
-    W, mu, A6, b3 = model_terms(params)
+    W, mu, A6, b3, shift = model_terms(params)
 
     def stats_fn(R, t):
         st = ops.reg_stats(
-            source, W, mu, A6, b3, (R, t), point_weights, top_k, outlier_logit
+            source, W, mu, A6, b3, (R, t), point_weights, top_k, outlier_logit,
+            shift=shift,
         )
         return st.horn, st.A, st.b, st.loglik
 
@@ -159,6 +165,59 @@ def register_points(
     )
     return RegistrationResult(
         pose=Pose(R, t), logliks=logliks, deltas=deltas, converged=done
+    )
+
+
+def register_tree(
+    source: jax.Array,
+    tree: GmmTree,
+    init_pose: Pose | None = None,
+    n_iters: int = 50,
+    method: str = "wls",
+    tol: float = 1e-7,
+    top_k: int | None = None,
+    outlier_logit: float | None = None,
+    point_weights: jax.Array | None = None,
+    wls_inner: int = 2,
+    complexity_threshold: float = 0.0,
+) -> RegistrationResult:
+    """Coarse-to-fine registration down the GMM tree (arXiv 1807.02587's
+    multi-scale association, expressed level-synchronously): register
+    against level 0 (branch components, wide basin), warm-start level 1,
+    ..., finish on the leaf mixture (or the adaptive complexity cut).
+
+    Registering directly against the leaves fails when the initial motion
+    exceeds the leaf Gaussians' scale (measured: 0.4 m frame motion vs
+    ~0.1 m leaves quenches at a local optimum); the coarse levels supply
+    the basin, the fine levels the accuracy. `n_iters` is the PER-LEVEL
+    iteration budget (convergence skipping makes coarse levels cheap).
+    """
+    pose = Pose.identity(source.dtype) if init_pose is None else init_pose
+    levels = list(tree.levels)
+    lls, deltas, res = [], [], None
+    for li, params in enumerate(levels):
+        if li == len(levels) - 1 and complexity_threshold > 0.0:
+            params = tree.cut_mixture(complexity_threshold)
+        res = register_points(
+            source,
+            params,
+            init_pose=pose,
+            n_iters=n_iters,
+            method=method,
+            tol=tol,
+            top_k=top_k,
+            outlier_logit=outlier_logit,
+            point_weights=point_weights,
+            wls_inner=wls_inner,
+        )
+        pose = res.pose
+        lls.append(res.logliks)
+        deltas.append(res.deltas)
+    return RegistrationResult(
+        pose=pose,
+        logliks=jnp.concatenate(lls),
+        deltas=jnp.concatenate(deltas),
+        converged=res.converged,
     )
 
 
@@ -188,10 +247,10 @@ def register_pair(
             model, _ = GmmTree.fit(
                 target, branch=branch, levels=levels, em_iters=fit_iters, key=key
             )
-    if isinstance(model, Gmm):
-        params = model.params
-    elif isinstance(model, GmmTree):
-        params = model.cut_mixture(complexity_threshold)
-    else:
-        params = model
+    if isinstance(model, GmmTree):
+        return register_tree(
+            source, model, complexity_threshold=complexity_threshold,
+            **register_kw,
+        )
+    params = model.params if isinstance(model, Gmm) else model
     return register_points(source, params, **register_kw)

@@ -1,0 +1,91 @@
+"""Config-4 end-to-end: the `hgmm odometry` CLI on the checked-in
+KITTI-format fixture (tests/fixtures/kitti_mini — real .bin/poses.txt/
+calib.txt formats, synthetic content), evaluated as ATE against ground
+truth through data.kitti.load_poses / load_calib_velo_to_cam
+(BASELINE.json:2,10 "KITTI pair ATE"; VERDICT round-1 items 2-3)."""
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hgmm.data.kitti import (
+    load_calib_velo_to_cam,
+    load_poses,
+    load_velodyne_bin,
+    sequence_scan_paths,
+)
+from hgmm.eval.metrics import kitti_gt_trajectory
+
+FIXTURE = Path(__file__).parent / "fixtures" / "kitti_mini"
+
+
+def test_fixture_loaders_roundtrip():
+    paths = sequence_scan_paths(FIXTURE)
+    assert len(paths) == 4
+    scan = load_velodyne_bin(paths[0])
+    assert scan.shape == (6664, 3) and scan.dtype == np.float32
+
+    poses = load_poses(FIXTURE / "poses.txt")
+    assert len(poses) == 4
+    # Frame 0 is the cam0 origin by construction.
+    np.testing.assert_allclose(np.asarray(poses[0].R), np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses[0].t), 0.0, atol=1e-6)
+
+    calib = load_calib_velo_to_cam(FIXTURE / "calib.txt")
+    # The generator's Tr: axis permutation with |det R| = 1.
+    np.testing.assert_allclose(
+        float(jnp.linalg.det(calib.R)), 1.0, atol=1e-6
+    )
+
+    # GT velodyne trajectory recovers the generator's sensor motion:
+    # frame k translation ~ (0.4k, 0.05k, 0) with yaw 0.04k.
+    gt = kitti_gt_trajectory(poses, calib)
+    np.testing.assert_allclose(np.asarray(gt[0].t), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gt[1].t), [0.4, 0.05, 0.0], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt[3].t), [1.2, 0.15, 0.0], atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_odometry_cli_ate(tmp_path, capsys):
+    """Drive the CLI end-to-end: velodyne dir -> trajectory + ATE + JSONL."""
+    from hgmm.cli.main import main
+
+    out = tmp_path / "traj.npy"
+    metrics = tmp_path / "metrics.jsonl"
+    main(
+        [
+            "odometry",
+            str(FIXTURE),
+            "--max-frames", "3",
+            "--voxel", "0.25",
+            "--bucket", "4096",
+            "--fit-iters", "8",
+            "--reg-iters", "20",
+            "--out", str(out),
+            "--poses", str(FIXTURE / "poses.txt"),
+            "--metrics", str(metrics),
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert "ATE vs ground truth:" in captured
+    ate = float(captured.split("ATE vs ground truth:")[1].split("m")[0])
+    # Frame spacing is 0.4 m; a working registration lands within ~10 cm.
+    assert ate < 0.1, captured
+
+    traj = np.load(out)
+    assert traj.shape == (3, 3)
+    # Forward progress ~0.4 m/frame along x.
+    assert 0.25 < traj[1, 0] < 0.55 and 0.6 < traj[2, 0] < 1.0, traj
+
+    records = [json.loads(l) for l in metrics.read_text().splitlines()]
+    events = {r["event"] for r in records}
+    assert "registration" in events and "ate" in events
+    ate_rec = [r for r in records if r["event"] == "ate"][0]
+    assert ate_rec["frames"] == 3 and ate_rec["ate_m"] == pytest.approx(ate, abs=1e-3)
