@@ -15,7 +15,7 @@ import numpy as np
 
 from hgmm.models.pose import solve_horn
 from hgmm.models.se3 import Pose, se3_log
-from hgmm.ops.knn import nearest_neighbor_ref
+from hgmm.ops.knn import nearest_neighbor
 
 
 class IcpResult(NamedTuple):
@@ -42,7 +42,10 @@ def icp(
         R, t, done = carry
         pose = Pose(R, t)
         y = pose.apply(source)
-        idx, d2 = nearest_neighbor_ref(y, target)
+        # Dispatches to the blocked-distance Pallas kernel on TPU (the
+        # reference's GPU-ICP equivalent, SURVEY.md §2.1 item 5) and the
+        # dense twin elsewhere.
+        idx, d2 = nearest_neighbor(y, target)
         matched = target[idx]
         if max_dist is not None:
             w = (d2 < max_dist * max_dist).astype(source.dtype)

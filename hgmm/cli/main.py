@@ -68,7 +68,11 @@ def cmd_register(args) -> None:
         branch=preset.branch,
         levels=preset.levels,
         fit_iters=preset.fit_iters,
-        complexity_threshold=preset.complexity_threshold,
+        complexity_threshold=(
+            preset.complexity_threshold
+            if args.complexity_threshold is None
+            else args.complexity_threshold
+        ),
         n_iters=preset.reg_iters,
         method=preset.method,
         top_k=preset.top_k,
@@ -167,6 +171,12 @@ def cmd_bench(args) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="hgmm", description=__doc__)
+    p.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX platform (this environment's sitecustomize pins "
+        "the TPU tunnel; --platform cpu overrides it, e.g. to run the CLI "
+        "while the chip is busy)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     f = sub.add_parser("fit-gmm", help="fit a flat GMM or GMM-tree to a cloud")
@@ -183,6 +193,10 @@ def main(argv=None) -> None:
     r.add_argument("source")
     r.add_argument("target")
     r.add_argument("--preset", default="config2_tree_8x3")
+    r.add_argument(
+        "--complexity-threshold", type=float, default=None,
+        help="adaptive-cut threshold override (0 = pure leaves)",
+    )
     r.add_argument("--out", default=None)
     r.add_argument("--export-aligned", default=None)
     r.set_defaults(fn=cmd_register)
@@ -218,6 +232,10 @@ def main(argv=None) -> None:
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

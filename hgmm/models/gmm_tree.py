@@ -178,31 +178,69 @@ class GmmTree:
     def leaf_mixture(self) -> MixtureParams:
         return self.levels[-1]
 
-    def cut_mixture(self, complexity_threshold: float = 0.0) -> MixtureParams:
-        """Mixed-resolution mixture: for each node at level L-2, if its
-        complexity <= threshold keep the NODE (children weights zeroed),
-        else keep its CHILDREN. Returned padded to n_leaves + n_level(L-2)
-        components with zero-weight entries masked out via pi=0 (which the
-        packing turns into a below-NEG_INF logit). threshold=0 -> pure
-        leaves."""
+    def cut_mixture(
+        self, complexity_threshold: float = 0.0, compact: bool = True
+    ) -> MixtureParams:
+        """Mixed-resolution mixture (arXiv 1807.02587's adaptive-scale
+        association as a static cut): for each node at level L-2, if its
+        complexity <= threshold keep the NODE (children dropped), else keep
+        its CHILDREN. A kept coarse node takes EXACTLY the total weight of
+        the leaves it replaces (not its own fitted pi, which matches the
+        leaf mass only approximately under hard parent assignment), so the
+        cut's weights sum to 1 by construction.
+
+        With compact=True (requires calling OUTSIDE jit) zero-weight
+        components are dropped host-side and K is padded up to a multiple
+        of 64, so a cut that keeps C coarse nodes costs the fused kernels
+        K ~= C + (Kc - C) * branch instead of Kc + Kc * branch.
+        threshold=0 -> pure leaves."""
         if len(self.levels) < 2 or complexity_threshold <= 0.0:
             return self.leaf_mixture()
         coarse = self.levels[-2]
         leaves = self.levels[-1]
+        leaf_mass = jnp.sum(leaves.pi.reshape(-1, self.branch), axis=1)  # [Kc]
         simple = node_complexity(coarse) <= complexity_threshold  # [Kc]
-        keep_coarse = simple & (coarse.pi > 0)
-        leaf_parent_simple = jnp.repeat(simple, self.branch)
+        keep_coarse = simple & (leaf_mass > 0)
         pi = jnp.concatenate(
             [
-                jnp.where(keep_coarse, coarse.pi, 0.0),
-                jnp.where(leaf_parent_simple, 0.0, leaves.pi),
+                jnp.where(keep_coarse, leaf_mass, 0.0),
+                jnp.where(jnp.repeat(keep_coarse, self.branch), 0.0, leaves.pi),
             ]
         )
         mu = jnp.concatenate([coarse.mu, leaves.mu])
         sigma = jnp.concatenate([coarse.sigma, leaves.sigma])
-        # Renormalize (coarse pi == sum of its leaves' pi only approximately).
         pi = pi / jnp.maximum(jnp.sum(pi), 1e-30)
-        return MixtureParams(pi=pi, mu=mu, sigma=sigma)
+        out = MixtureParams(pi=pi, mu=mu, sigma=sigma)
+        return compact_mixture(out) if compact else out
+
+
+def compact_mixture(params: MixtureParams, bucket: int = 64) -> MixtureParams:
+    """Drop zero-weight components and pad K up to a multiple of `bucket`
+    (identity-covariance, pi=0 pads — the packing gives them below-NEG_INF
+    logits so they are inert in every kernel). Shapes become data-dependent:
+    must run OUTSIDE jit; bucketing bounds recompile churn when cut sizes
+    vary across frames."""
+    pi = np.asarray(params.pi)
+    keep = np.flatnonzero(pi > 0)
+    if keep.size == 0:
+        keep = np.array([0])
+    k_pad = max(bucket, -(-keep.size // bucket) * bucket)
+    if k_pad == pi.shape[0] and keep.size == pi.shape[0]:
+        return params
+    pad = k_pad - keep.size
+    pi_c = np.concatenate([pi[keep], np.zeros(pad, pi.dtype)])
+    mu_c = np.concatenate(
+        [np.asarray(params.mu)[keep], np.zeros((pad, 3), np.float32)]
+    )
+    sigma_c = np.concatenate(
+        [
+            np.asarray(params.sigma)[keep],
+            np.broadcast_to(np.eye(3, dtype=np.float32), (pad, 3, 3)),
+        ]
+    )
+    return MixtureParams(
+        pi=jnp.asarray(pi_c), mu=jnp.asarray(mu_c), sigma=jnp.asarray(sigma_c)
+    )
 
 
 def fit_gmm_tree(points, branch=8, levels=3, em_iters=12, key=None, **kw):

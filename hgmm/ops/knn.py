@@ -43,7 +43,12 @@ def nearest_neighbor_ref(query: jax.Array, target: jax.Array, chunk: int = 2048)
             - 2.0 * (q @ target.T)
             + t2[None, :]
         )
-        return jnp.argmin(d2, axis=1).astype(jnp.int32), jnp.min(d2, axis=1)
+        # Clamp: the factored form goes epsilon-negative for exact matches
+        # (cancellation), and sqrt(-eps) downstream is NaN.
+        return (
+            jnp.argmin(d2, axis=1).astype(jnp.int32),
+            jnp.maximum(jnp.min(d2, axis=1), 0.0),
+        )
 
     n = query.shape[0]
     n_pad = _round_up(n, chunk)
@@ -134,7 +139,7 @@ def nearest_neighbor_pallas(
         ],
         interpret=_interpret(),
     )(qT, tT)
-    return out_i[0, :nq], out_d[0, :nq]
+    return out_i[0, :nq], jnp.maximum(out_d[0, :nq], 0.0)
 
 
 def nearest_neighbor(query, target, **kw):

@@ -38,6 +38,32 @@ def test_config2_tree_registration():
     assert float(rotation_error_deg(res.pose, gt)) < 2.0
 
 
+def test_config2_adaptive_cut_registration():
+    """Adaptive-scale association (arXiv 1807.02587's headline feature):
+    register against the mixed-resolution complexity cut instead of pure
+    leaves. The cut must (a) actually shrink the mixture the kernels see,
+    and (b) match pure-leaf registration quality."""
+    from hgmm.models.gmm_tree import node_complexity
+
+    cloud = make_cloud(jax.random.PRNGKey(0), 4000, kind="trefoil")
+    gt = random_pose(jax.random.PRNGKey(1), max_angle=0.2, max_trans=0.05)
+    source = gt.inverse().apply(cloud)
+    tree, _ = GmmTree.fit(cloud, branch=8, levels=3, em_iters=8,
+                          key=jax.random.PRNGKey(2))
+    comp = node_complexity(tree.levels[-2])
+    thr = float(jnp.quantile(comp, 0.5))  # coarsen ~half the parents
+    cut = tree.cut_mixture(thr)
+    assert cut.pi.shape[0] < tree.n_leaves  # fewer components than leaves
+    from hgmm.pipelines.register import register_tree
+
+    res = register_tree(
+        source, tree, n_iters=40, method="horn+wls",
+        complexity_threshold=thr,
+    )
+    assert float(registration_rmse(res.pose, source, gt)) < 0.03
+    assert float(rotation_error_deg(res.pose, gt)) < 2.0
+
+
 def test_config3_noisy_partial_overlap():
     """Anisotropic + Mahalanobis + outlier gating on noisy partial overlap
     (config 3)."""

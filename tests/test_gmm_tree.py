@@ -71,6 +71,41 @@ def test_cut_mixture_masses():
     assert leaf.pi.shape == (64,)
 
 
+def test_cut_mixture_compacts_and_preserves_loglik():
+    """threshold>0 must SHRINK the mixture the kernels see (host-side
+    compaction to a 64-bucket) at bounded model-quality cost: each kept
+    coarse node takes exactly its leaves' mass, and the mean per-point
+    log-likelihood of the cut stays within 0.5 nat of the pure leaves."""
+    from hgmm.models.gmm_tree import node_complexity
+    from hgmm.ops import em_ref
+    from hgmm.ops.gaussians import pack_loglik_weights
+
+    pts = _cloud(3000)
+    tree, _ = GmmTree.fit(pts, branch=8, levels=3, em_iters=8)
+    comp = node_complexity(tree.levels[-2])
+    thr = float(jnp.quantile(comp, 0.25))  # coarsen the simplest quarter
+    cut = tree.cut_mixture(thr)
+    leaves = tree.leaf_mixture()
+    assert cut.pi.shape[0] % 64 == 0
+    assert cut.pi.shape[0] < leaves.pi.shape[0]
+    np.testing.assert_allclose(float(jnp.sum(cut.pi)), 1.0, atol=1e-5)
+    n = pts.shape[0]
+    ll_cut = float(em_ref.em_stats(pts, pack_loglik_weights(cut)).loglik) / n
+    ll_leaf = float(em_ref.em_stats(pts, pack_loglik_weights(leaves)).loglik) / n
+    assert ll_cut > ll_leaf - 0.5, (ll_cut, ll_leaf)
+
+
+def test_cut_mixture_all_simple_is_coarse_level():
+    """threshold >= max complexity -> the cut IS the coarse level (with
+    leaf-mass weights), compacted to its bucket."""
+    tree, _ = GmmTree.fit(_cloud(2000), branch=8, levels=2, em_iters=6)
+    cut = tree.cut_mixture(complexity_threshold=1.0)
+    coarse = tree.levels[0]
+    kc = int(jnp.sum(coarse.pi > 0))
+    assert int(jnp.sum(cut.pi > 0)) <= kc
+    np.testing.assert_allclose(float(jnp.sum(cut.pi)), 1.0, atol=1e-5)
+
+
 def test_node_complexity_range():
     sigma = jnp.stack([jnp.eye(3), jnp.diag(jnp.array([1.0, 1.0, 1e-4]))])
     c = node_complexity(MixtureParams(jnp.array([0.5, 0.5]), jnp.zeros((2, 3)), sigma))
