@@ -48,7 +48,7 @@ def main() -> None:
         jax.tree.map(lambda x: jax.device_get(x), out)
         return out, time.perf_counter() - t0
 
-    def report(name, pose, fit_s, reg_s):
+    def report(name, pose, fit_s, reg_s, **extra):
         print(
             json.dumps(
                 {
@@ -58,6 +58,7 @@ def main() -> None:
                     "register_s": round(reg_s, 4),
                     "rmse": round(float(registration_rmse(pose, source, gt)), 6),
                     "rot_err_deg": round(float(rotation_error_deg(pose, gt)), 4),
+                    **extra,
                 }
             )
         )
@@ -82,7 +83,19 @@ def main() -> None:
     res, dt = timed(
         lambda: register_points(source, cut, n_iters=40, outlier_logit=0.0)
     )
-    report("hgmm_tree_8x3", res.pose, fit_dt, dt)
+    report("hgmm_tree_8x3", res.pose, fit_dt, dt, k=int(cut.pi.shape[0]))
+
+    # Adaptive mixed-resolution cut (arXiv 1807.02587 headline feature):
+    # same tree, coarsen the simplest half of the parents — fewer components
+    # for the same registration quality.
+    from hgmm.models.gmm_tree import node_complexity
+
+    thr = float(jnp.quantile(node_complexity(tree.levels[-2]), 0.5))
+    acut = tree.cut_mixture(thr)
+    res, dt = timed(
+        lambda: register_points(source, acut, n_iters=40, outlier_logit=0.0)
+    )
+    report("hgmm_adaptive_cut", res.pose, fit_dt, dt, k=int(acut.pi.shape[0]))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,28 @@ def main() -> None:
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
     print(f"# backend={jax.default_backend()} devices={len(devices)}", file=sys.stderr)
 
+    # Sharded-program overhead at 1 device: unsharded em_fit vs the same
+    # fit through Mesh+shard_map+psum on a 1-device mesh. This is the part
+    # of the weak-scaling story measurable on a single chip (the collective
+    # machinery must be ~free before multi-host efficiency can be >=80%).
+    from hgmm.models.gmm import em_fit
+
+    n1 = args.points_per_device
+    pts1 = make_cloud(jax.random.PRNGKey(0), n1, kind="trefoil")
+    init1 = init_params(pts1, args.k, jax.random.PRNGKey(1))
+
+    def run_unsharded():
+        p, _ = em_fit(pts1, init1, n_iters=args.iters)
+        float(p.mu[0, 0])
+
+    run_unsharded()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_unsharded()
+        times.append(time.perf_counter() - t0)
+    unsharded_pps = n1 / (float(np.median(times)) / args.iters)
+
     results = []
     base_pps = None
     for s in sizes:
@@ -77,6 +99,9 @@ def main() -> None:
         eff = pps / (base_pps * s)
         rec = {"devices": s, "points": n, "points_per_sec": round(pps),
                "weak_scaling_efficiency": round(eff, 4)}
+        if s == 1:
+            rec["unsharded_points_per_sec"] = round(unsharded_pps)
+            rec["sharding_overhead"] = round(1.0 - pps / unsharded_pps, 4)
         if jax.default_backend() == "cpu":
             # Fake devices share one physical CPU: this validates the
             # sharded program, the efficiency number is meaningless here.
