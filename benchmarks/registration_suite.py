@@ -9,7 +9,6 @@ Usage: python benchmarks/registration_suite.py [--n 100000] [--cpu]
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -40,13 +39,11 @@ def main() -> None:
     gt = random_pose(jax.random.PRNGKey(1), max_angle=0.2, max_trans=0.06)
     source = perturb(jax.random.PRNGKey(2), cloud, gt.inverse(), noise=0.002)
 
+    from hgmm.utils.timing import time_fn
+
     def timed(fn):
-        out = fn()  # compile
-        jax.tree.map(lambda x: jax.device_get(x), out)
-        t0 = time.perf_counter()
-        out = fn()
-        jax.tree.map(lambda x: jax.device_get(x), out)
-        return out, time.perf_counter() - t0
+        out, median_s, _ = time_fn(fn, warmup=1, iters=1)
+        return out, median_s
 
     def report(name, pose, fit_s, reg_s, **extra):
         print(

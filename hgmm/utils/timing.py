@@ -17,8 +17,9 @@ def time_fn(
     iters: int = 10,
     **kwargs,
 ):
-    """Median wall-time of fn(*args) with device sync. Returns (median_s,
-    all_times)."""
+    """Median wall-time of fn(*args) with device sync (the first warmup call
+    pays the compile). Returns (out, median_s, all_times)."""
+    out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
         jax.block_until_ready(out)
@@ -28,4 +29,4 @@ def time_fn(
         out = fn(*args, **kwargs)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), times
+    return out, float(np.median(times)), times
