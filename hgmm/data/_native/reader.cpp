@@ -6,6 +6,8 @@
 // Exposed via ctypes (hgmm/data/native.py) — no pybind11 dependency.
 // Build: python -m hgmm.data.native --build   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -197,6 +199,73 @@ int64_t hgmm_read_ply_xyz(const char* path, float* out) {
   }
   unmap(m);
   return n_vertex;
+}
+
+// Voxel-grid downsample: one centroid per occupied voxel. Semantics match
+// hgmm.data.kitti.voxel_downsample exactly (same f32 floor(p/voxel) keys,
+// same 20-bit-per-axis int64 packing, same ascending-key output order, f64
+// centroid accumulation), so the Python fallback and this fast path are
+// interchangeable bit-for-bit up to f32 rounding of the final centroids.
+// np.add.at runs at ~20M pts/s; this single-pass open-addressing table at
+// ~150M+ — the difference between ~0.5 s and ~30 ms per 10M-point frame of
+// host-side preprocessing in the config-5 ingest path (SURVEY.md §8).
+//
+// `pts` is [n,3] row-major f32; `out` must hold n*3 floats (output count is
+// always <= n). Returns the number of output points, or -1 on bad args.
+int64_t hgmm_voxel_downsample(const float* pts, int64_t n, float voxel,
+                              float* out) {
+  if (pts == nullptr || out == nullptr || n <= 0 || !(voxel > 0.0f)) return -1;
+  uint64_t cap = 64;
+  while (cap < static_cast<uint64_t>(2 * n)) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  constexpr uint64_t kEmpty = ~0ull;  // packed keys are < 2^60
+  std::vector<uint64_t> table_key(cap, kEmpty);
+  std::vector<int64_t> table_slot(cap);
+  struct Acc {
+    uint64_t key;
+    double x, y, z;
+    int64_t c;
+  };
+  std::vector<Acc> accs;
+  accs.reserve(static_cast<size_t>(n / 4 + 16));
+
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = pts + i * 3;
+    // Two's-complement & matches numpy's int64 & 0xFFFFF on negatives.
+    int64_t kx = static_cast<int64_t>(std::floor(p[0] / voxel));
+    int64_t ky = static_cast<int64_t>(std::floor(p[1] / voxel));
+    int64_t kz = static_cast<int64_t>(std::floor(p[2] / voxel));
+    uint64_t key = (static_cast<uint64_t>(kx) & 0xFFFFF) |
+                   ((static_cast<uint64_t>(ky) & 0xFFFFF) << 20) |
+                   ((static_cast<uint64_t>(kz) & 0xFFFFF) << 40);
+    uint64_t idx = (key * 0x9E3779B97F4A7C15ull) & mask;
+    while (true) {
+      if (table_key[idx] == kEmpty) {
+        table_key[idx] = key;
+        table_slot[idx] = static_cast<int64_t>(accs.size());
+        accs.push_back({key, p[0], p[1], p[2], 1});
+        break;
+      }
+      if (table_key[idx] == key) {
+        Acc& a = accs[static_cast<size_t>(table_slot[idx])];
+        a.x += p[0];
+        a.y += p[1];
+        a.z += p[2];
+        a.c += 1;
+        break;
+      }
+      idx = (idx + 1) & mask;
+    }
+  }
+  std::sort(accs.begin(), accs.end(),
+            [](const Acc& a, const Acc& b) { return a.key < b.key; });
+  for (size_t i = 0; i < accs.size(); ++i) {
+    const Acc& a = accs[i];
+    out[i * 3 + 0] = static_cast<float>(a.x / a.c);
+    out[i * 3 + 1] = static_cast<float>(a.y / a.c);
+    out[i * 3 + 2] = static_cast<float>(a.z / a.c);
+  }
+  return static_cast<int64_t>(accs.size());
 }
 
 }  // extern "C"

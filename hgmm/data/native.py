@@ -47,6 +47,15 @@ def _load():
         lib.hgmm_read_kitti_bin.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
         lib.hgmm_read_ply_xyz.restype = ctypes.c_int64
         lib.hgmm_read_ply_xyz.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        try:
+            lib.hgmm_voxel_downsample.restype = ctypes.c_int64
+            lib.hgmm_voxel_downsample.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            # Library built from an older reader.cpp: readers still work,
+            # voxel_downsample() falls back to numpy.
+            pass
         _lib_handle = lib
     except OSError:
         _load_failed = True
@@ -78,6 +87,26 @@ def load_kitti_bin(path: str) -> np.ndarray | None:
 
 def load_ply(path: str) -> np.ndarray | None:
     return _read("hgmm_read_ply_xyz", path)
+
+
+def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray | None:
+    """Native voxel-grid downsample (bit-compatible with the numpy fallback
+    in hgmm.data.kitti.voxel_downsample). Returns None if the library is
+    missing or predates this entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hgmm_voxel_downsample"):
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    out = np.empty_like(pts)
+    n = lib.hgmm_voxel_downsample(
+        pts.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(pts.shape[0]),
+        ctypes.c_float(voxel),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n < 0:
+        return None
+    return out[:n]
 
 
 if __name__ == "__main__":
