@@ -89,8 +89,8 @@ def main() -> None:
         f"K={K} N={N}: {per_sweep*1e3:.3f} ms/sweep, {pps/1e9:.3f} Gpts/s, "
         f"{flops/1e12:.1f} TFLOP/s executed; attainable {att.points_per_sec/1e9:.3f} "
         f"Gpts/s ({att.bound}-bound) -> {100*pps/att.points_per_sec:.1f}% of roofline "
-        f"(perfect-overlap bound {att.overlap_points_per_sec/1e9:.3f} Gpts/s -> "
-        f"{100*pps/att.overlap_points_per_sec:.1f}%)"
+        f"(no-overlap lower bound {att.serial_points_per_sec/1e9:.3f} Gpts/s -> "
+        f"{100*pps/att.serial_points_per_sec:.1f}%)"
     )
     print(
         json.dumps(

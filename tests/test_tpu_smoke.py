@@ -117,9 +117,12 @@ def test_smoke_icp_uses_knn_kernel():
 @pytest.mark.skipif(not ON_TPU, reason="throughput guard needs the real chip")
 def test_smoke_estep_throughput():
     """Headline-regression guard: the bench-shaped fused sweep must stay
-    above 65% of the attainable roofline (the round-1 regression was
-    71% -> 59%; bench targets >70%). Uses the exact bench shapes so the
-    executable is shared with bench.py's remote-compile cache entry."""
+    above 60% of the attainable (perfect-overlap) roofline — the shipped
+    kernel measures 72-74%, a round-1-scale regression sits at ~54% on this
+    denominator, and the guard leaves headroom for short-run tunnel
+    variance (bench targets >70% with its longer, steadier runs). Uses the
+    exact bench shapes so the executable is shared with bench.py's
+    remote-compile cache entry."""
     from hgmm.eval.roofline import estep_attainable
 
     N, K, sweeps = 1 << 21, 512, 20
@@ -151,7 +154,7 @@ def test_smoke_estep_throughput():
     pps = N / (float(np.median(times)) / sweeps)
     att = estep_attainable(K)
     frac = pps / att.points_per_sec
-    assert frac > 0.65, (
+    assert frac > 0.60, (
         f"E-step throughput regressed: {pps/1e9:.3f} Gpts/s = "
-        f"{100*frac:.1f}% of roofline (guard: 65%)"
+        f"{100*frac:.1f}% of roofline (guard: 60%)"
     )
