@@ -79,6 +79,13 @@ _BF16 = jnp.bfloat16
 #     below the global shift — measure both speed AND test tolerances.
 _FAST_VARIANT = int(_os.environ.get("HGMM_FAST_VARIANT", "0"))
 _MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "1") == "1"
+# Intra-kernel sub-tiling of the point (lane) axis: with HGMM_SUBTILE=c the
+# fast-path em_stats body runs c independent logits->exp2->stats chains per
+# grid step, giving Mosaic explicit ILP to overlap chunk i's K x T/c exp2
+# (VPU) with chunk i+1's logits matmul (MXU). 1 = the single-chain body.
+# Measured on v5e (benchmarks/ablate_variants.py --subtile): no win — see
+# RESULTS.md; kept as the measurement switch.
+_SUBTILE = int(_os.environ.get("HGMM_SUBTILE", "1"))
 
 # Signature salt: this environment's remote-compile service caches compiled
 # executables keyed by the OUTER jit program's input signature, not its HLO
@@ -446,6 +453,24 @@ def _em_stats_kernel(
     fast = wt_ref.dtype == _BF16
     phiw = phiw_ref[:]  # [16, T] f32: rows 0:10 features, row 10 weight
     w = phiw[10:11]
+    if fast and _SUBTILE > 1 and parent_ref is None:
+        # Sub-tiled body (see _SUBTILE): c independent chains per grid step.
+        wt = wt_ref[:]
+        phi48 = phi48_ref[:]
+        ch = phiw.shape[1] // _SUBTILE
+        s_acc = jnp.zeros_like(out_s_ref)
+        ll = jnp.zeros((), _F32)
+        for c in range(_SUBTILE):
+            sl = slice(c * ch, (c + 1) * ch)
+            d = jnp.dot(
+                wt, phi48[:, sl], preferred_element_type=_F32, precision=_LO
+            )
+            e, scale, lse, _ = _softmax_fast(d, w[:, sl], sm_ref)
+            s_acc = s_acc + _stats_dot_t(e, phiw[:, sl] * scale, fast=True)
+            ll = ll + jnp.sum(lse)
+        out_s_ref[:] = out_s_ref[:] + s_acc
+        out_ll_ref[0, 0] += ll
+        return
     if fast:
         # Precomputed [hi; lo; hi] bf16 features — no per-sweep feature
         # build or hi/lo split on the VPU; output is already the shifted
