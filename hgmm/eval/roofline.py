@@ -77,7 +77,15 @@ def estep_attainable(
     t_vpu = vpu_passes * k / vpu_rate
     t_hbm = bytes_per_point / hbm_bytes
     t = max(t_hbm, t_mxu, t_vpu)
-    bound = {t_hbm: "hbm", t_mxu: "mxu", t_vpu: "vpu"}[t]
+    # Explicit tie-break order (hbm > mxu > vpu): on exact ties report the
+    # cheaper-to-fix ceiling first; a float-keyed dict would collapse tied
+    # keys to whichever was inserted last.
+    if t == t_hbm:
+        bound = "hbm"
+    elif t == t_mxu:
+        bound = "mxu"
+    else:
+        bound = "vpu"
     return EstepRoofline(
         points_per_sec=1.0 / t,
         serial_points_per_sec=1.0 / max(t_hbm, t_mxu + t_vpu),

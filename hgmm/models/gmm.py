@@ -42,6 +42,20 @@ def init_params(points: jax.Array, k: int, key: jax.Array) -> MixtureParams:
     return MixtureParams(pi=pi, mu=mu, sigma=sigma)
 
 
+def scene_variance(
+    points: jax.Array, point_weights: jax.Array | None = None
+) -> jax.Array:
+    """Weighted mean squared deviation per axis (scalar, data units^2) —
+    the scene scale the fit paths derive their covariance floor from."""
+    if point_weights is None:
+        mean = jnp.mean(points, axis=0)
+        return jnp.mean((points - mean) ** 2)
+    w = point_weights[:, None]
+    tw = jnp.maximum(jnp.sum(point_weights), 1e-30)
+    mean = jnp.sum(points * w, axis=0) / tw
+    return jnp.sum(w * (points - mean) ** 2) / (3.0 * tw)
+
+
 @partial(jax.jit, static_argnames=("n_iters", "cov_type"))
 def em_fit(
     points: jax.Array,
@@ -50,16 +64,26 @@ def em_fit(
     cov_reg: float = 1e-6,
     cov_type: str = "full",
     point_weights: jax.Array | None = None,
+    cov_floor_rel: float = 1e-4,
 ) -> tuple[MixtureParams, jax.Array]:
     """Run `n_iters` EM sweeps; returns (params, loglik_history [n_iters]).
 
     The loop is a lax.scan (BASELINE.json:5 "jitted scan"): fixed trip count,
     loglik history returned for convergence monitoring (SURVEY.md §6.5).
+
+    cov_floor_rel: scale-aware covariance-eigenvalue floor as a fraction of
+    the scene variance (so sigma_min ~ 1% of the cloud's standard deviation
+    at the default). On degenerate data (points exactly on a curve/plane)
+    EM otherwise collapses covariances to cov_reg, which both diverges the
+    likelihood and drives packed precisions to ~1/cov_reg — beyond the fast
+    kernels' bf16 accuracy domain (gaussians.fast_logit_margin). 0 disables
+    (use with precision="strict" for exact small-scale structure).
     """
     if point_weights is None:
         total = jnp.asarray(points.shape[0], dtype=points.dtype)
     else:
         total = jnp.sum(point_weights)
+    cov_floor = cov_floor_rel * scene_variance(points, point_weights)
 
     def step(params: MixtureParams, _):
         W = pack_loglik_weights(params)
@@ -67,7 +91,10 @@ def em_fit(
             points, W, point_weights, shift=max_logit_params(params)
         )
         T0, T1, T2 = ops.unpack_suffstats(stats.S)
-        new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
+        new = mstep_update(
+            T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
+            cov_floor=cov_floor,
+        )
         return new, stats.loglik
 
     params, logliks = jax.lax.scan(step, init, None, length=n_iters)
@@ -97,12 +124,14 @@ class Gmm:
         key: jax.Array | None = None,
         cov_reg: float = 1e-6,
         cov_type: str = "full",
+        cov_floor_rel: float = 1e-4,
     ) -> tuple["Gmm", jax.Array]:
         if key is None:
             key = jax.random.PRNGKey(0)
         init = init_params(points, k, key)
         params, logliks = em_fit(
-            points, init, n_iters=n_iters, cov_reg=cov_reg, cov_type=cov_type
+            points, init, n_iters=n_iters, cov_reg=cov_reg, cov_type=cov_type,
+            cov_floor_rel=cov_floor_rel,
         )
         return cls(params), logliks
 

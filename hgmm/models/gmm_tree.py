@@ -37,8 +37,9 @@ from hgmm.ops.gaussians import (
     max_logit_params,
     mstep_update,
     pack_loglik_weights,
+    sym3_eigvalsh,
 )
-from hgmm.models.gmm import em_fit, init_params
+from hgmm.models.gmm import em_fit, init_params, scene_variance
 
 # Child seeding directions for J=8: cube corners (unit norm). numpy so the
 # import never initializes a JAX backend (multi-process bootstrap ordering).
@@ -91,6 +92,7 @@ def _fit_tree(
     cov_reg: float,
     cov_type: str,
     point_weights: jax.Array | None = None,
+    cov_floor_rel: float = 1e-4,
 ):
     """Level-synchronous build. Returns (tuple of per-level params,
     per-level final logliks)."""
@@ -98,13 +100,17 @@ def _fit_tree(
         total = jnp.asarray(points.shape[0], dtype=points.dtype)
     else:
         total = jnp.sum(point_weights)
+    # One scale-aware covariance floor for every level: deep levels are
+    # exactly where collapse strikes (few points per leaf, thin structure)
+    # — see em_fit's cov_floor_rel docstring.
+    cov_floor = cov_floor_rel * scene_variance(points, point_weights)
 
     level_params = []
     level_logliks = []
 
     params0, ll0 = em_fit(
         points, init0, n_iters=em_iters, cov_reg=cov_reg, cov_type=cov_type,
-        point_weights=point_weights,
+        point_weights=point_weights, cov_floor_rel=cov_floor_rel,
     )
     level_params.append(params0)
     level_logliks.append(ll0[-1])
@@ -121,7 +127,8 @@ def _fit_tree(
             )
             T0, T1, T2 = ops.unpack_suffstats(stats.S)
             new = mstep_update(
-                T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type
+                T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
+                cov_floor=cov_floor,
             )
             return new, stats.loglik
 
@@ -138,7 +145,7 @@ def node_complexity(params: MixtureParams) -> jax.Array:
     of the covariance trace. Near-planar/degenerate (simple) nodes score low;
     isotropic blobs (complex, worth refining) score high. This is the
     adaptive-scale criterion of arXiv 1807.02587 made a node property."""
-    eigs = jnp.linalg.eigvalsh(params.sigma)  # ascending, [K, 3]
+    eigs = sym3_eigvalsh(params.sigma)  # ascending, [K, 3]
     return eigs[:, 0] / jnp.maximum(jnp.sum(eigs, axis=1), 1e-30)
 
 
@@ -161,13 +168,14 @@ class GmmTree:
         cov_reg: float = 1e-6,
         cov_type: str = "full",
         point_weights: jax.Array | None = None,
+        cov_floor_rel: float = 1e-4,
     ) -> tuple["GmmTree", jax.Array]:
         if key is None:
             key = jax.random.PRNGKey(0)
         init0 = init_params(points, branch, key)
         lvls, logliks = _fit_tree(
             points, init0, branch, levels, em_iters, cov_reg, cov_type,
-            point_weights,
+            point_weights, cov_floor_rel,
         )
         return cls(levels=tuple(lvls), branch=branch), logliks
 

@@ -60,7 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hgmm.ops.em_ref import NEG_INF, EmStats, RegStats
-from hgmm.ops.gaussians import PHI_DIM, max_logit
+from hgmm.ops.gaussians import PHI_DIM, fast_logit_margin, max_logit
 
 DEFAULT_TILE = 4096
 _F32 = jnp.float32
@@ -83,9 +83,12 @@ _MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "1") == "1"
 # fast-path em_stats body runs c independent logits->exp2->stats chains per
 # grid step, giving Mosaic explicit ILP to overlap chunk i's K x T/c exp2
 # (VPU) with chunk i+1's logits matmul (MXU). 1 = the single-chain body.
-# Measured on v5e (benchmarks/ablate_variants.py --subtile): no win — see
-# RESULTS.md; kept as the measurement switch.
+# Measured on v5e (benchmarks/_subtile_probe.py): no win — see RESULTS.md;
+# kept as the measurement switch. Divisibility is enforced per-call in
+# _em_stats_call (the tile can shrink below DEFAULT_TILE for small N).
 _SUBTILE = int(_os.environ.get("HGMM_SUBTILE", "1"))
+if _SUBTILE < 1:
+    raise ValueError(f"HGMM_SUBTILE must be >= 1, got {_SUBTILE}")
 
 # Signature salt: this environment's remote-compile service caches compiled
 # executables keyed by the OUTER jit program's input signature, not its HLO
@@ -189,6 +192,15 @@ def prepare_points(
         w = point_weights.astype(points.dtype)
     pts_t = jnp.concatenate([points.T, w[None, :]], axis=0)  # [4, N]
     return jnp.pad(pts_t, ((0, 4), (0, n_pad - n)))
+
+
+def _coord_bound(pts_t: jax.Array) -> jax.Array:
+    """Max |coordinate| over the nonzero-weight columns of a prepared
+    [8, N_pad] point buffer (zero-weight padding may sit at arbitrary
+    coordinates and must not inflate the fast-path shift margin — see
+    gaussians.fast_logit_margin)."""
+    live = (pts_t[3:4] > 0).astype(pts_t.dtype)
+    return jnp.max(jnp.abs(pts_t[0:3]) * live)
 
 
 def prepare_phi(
@@ -510,6 +522,13 @@ def _em_stats_call(
     assert n_pad % tile == 0, (n_pad, tile)
     k_pad, w_lanes = wt.shape
     fast = wt.dtype == _BF16
+    if fast and _SUBTILE > 1 and parent is None and tile % _SUBTILE != 0:
+        # The sub-tiled kernel body slices the tile into _SUBTILE equal
+        # chunks; a remainder would be silently dropped from the stats.
+        raise ValueError(
+            f"HGMM_SUBTILE={_SUBTILE} does not divide the point tile "
+            f"{tile}; stats would silently drop {tile % _SUBTILE} columns"
+        )
     grid = (n_pad // tile,)
     in_specs = [
         pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -582,11 +601,17 @@ def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TIL
     (scan-invariant) points/mixture, so XLA hoists them out of EM-sweep
     loops automatically."""
     k = W.shape[1]
-    phiw, phi48 = prepare_phi(points, point_weights, tile, precision)
+    pts_t = prepare_points(points, point_weights, tile)
+    phiw, phi48 = prepare_phi(pts_t, None, tile, precision)
     if precision != "fast":
         shift = None
-    elif shift is None:
-        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+    else:
+        if shift is None:
+            shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+        # Overflow-proofing: absorb the bf16 logit-error bound into the
+        # shift (responsibilities are shift-invariant; the lse correction
+        # is exact), so exp2 cannot overflow for any finite mixture.
+        shift = shift + fast_logit_margin(W, _coord_bound(pts_t))
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(outlier_logit, shift)
     s, ll = _em_stats_call(phiw, phi48, wt, sm, tile=tile)
@@ -599,14 +624,17 @@ def em_stats_masked(
 ):
     """Pallas twin of em_ref.em_stats_masked (tree-fit child masking)."""
     k = W.shape[1]
-    phiw, phi48 = prepare_phi(points, point_weights, tile, precision)
+    pts_t = prepare_points(points, point_weights, tile)
+    phiw, phi48 = prepare_phi(pts_t, None, tile, precision)
     n_pad = phiw.shape[1]
     par = parent.astype(jnp.int32)
     par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
     if precision != "fast":
         shift = None
-    elif shift is None:
-        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+    else:
+        if shift is None:
+            shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+        shift = shift + fast_logit_margin(W, _coord_bound(pts_t))  # see em_stats
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(None, shift)
     s, ll = _em_stats_call(
@@ -839,8 +867,13 @@ def reg_stats(
     t_tile = min(tile, n_pad)
     if precision != "fast":
         shift = None
-    elif shift is None:
-        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+    else:
+        if shift is None:
+            shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+        # Posed-coordinate bound: |(R x + t)_axis| <= ||x|| + ||t||
+        # <= sqrt(3) * maxcoord(x) + ||t||. See em_stats.
+        bound = 1.7320508 * _coord_bound(pts_t) + jnp.linalg.norm(t)
+        shift = shift + fast_logit_margin(W, bound)
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(outlier_logit, shift)
     k_pad = wt.shape[0]

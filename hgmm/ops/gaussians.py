@@ -259,18 +259,105 @@ def unpack_suffstats(S: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return T0, T1, T2
 
 
-def psd_project(sigma: jax.Array, floor: float) -> jax.Array:
-    """Clip eigenvalues of symmetric [K, 3, 3] matrices to >= floor.
+def sym3_eigvalsh(m: jax.Array) -> jax.Array:
+    """Analytic ascending eigenvalues of symmetric [..., 3, 3] matrices
+    (Smith's trigonometric method — the closed-form solution of the
+    characteristic cubic).
+
+    Replaces batched `jnp.linalg.eigh` on the M-step hot path: pure
+    elementwise VPU math with clamped `acos`, so it is NaN-free for every
+    finite input (XLA's iterative eigh on TPU is not guaranteed to converge
+    cleanly for the clustered/degenerate eigenvalues that collapsed
+    covariances produce) and fuses into the surrounding jit. f32 absolute
+    accuracy is ~1e-4 * ||m|| worst-case (acos loses precision near
+    clustered eigenvalues) — ample for floors (psd_floor compensates
+    conservatively) and complexity scores.
+    """
+    q = (m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]) / 3.0
+    a, d, f = m[..., 0, 0] - q, m[..., 1, 1] - q, m[..., 2, 2] - q
+    b, c, e = m[..., 0, 1], m[..., 0, 2], m[..., 1, 2]
+    p2 = a * a + d * d + f * f + 2.0 * (b * b + c * c + e * e)
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    # Normalize entries BEFORE the determinant (safe_p**3 underflows f32
+    # for near-isotropic matrices; normalized entries are O(1)).
+    safe_p = jnp.maximum(p, 1e-30)
+    an, dn, fn = a / safe_p, d / safe_p, f / safe_p
+    bn, cn, en = b / safe_p, c / safe_p, e / safe_p
+    det = (
+        an * (dn * fn - en * en)
+        - bn * (bn * fn - en * cn)
+        + cn * (bn * en - dn * cn)
+    )
+    r = jnp.clip(0.5 * det, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lmax = q + 2.0 * p * jnp.cos(phi)
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0943951023931953)  # + 2 pi / 3
+    lmid = 3.0 * q - lmax - lmin
+    return jnp.stack([lmin, lmid, lmax], axis=-1)
+
+
+def psd_floor(sigma: jax.Array, floor) -> jax.Array:
+    """Floor the eigenvalues of symmetric [K, 3, 3] matrices at >= floor by
+    adding the per-matrix eigenvalue deficit times I (eigenvectors are
+    preserved exactly; eigenvalues above the floor shift up by the same
+    deficit, which only matters for matrices that were degenerate anyway).
 
     Guards the M-step against non-PSD covariances from catastrophic
     cancellation in T2/T0 - mu mu^T for nearly-empty components (SURVEY.md §8
-    "covariance PSD maintenance under eps-regularization"). Cheap: K x 3x3
-    eigendecompositions, far off the hot path.
+    "covariance PSD maintenance under eps-regularization"), and — with a
+    scale-aware floor — against the covariance collapse that drives packed
+    precisions beyond the fast kernels' bf16 accuracy domain.
     """
     sym = 0.5 * (sigma + jnp.swapaxes(sigma, -1, -2))
-    eigval, eigvec = jnp.linalg.eigh(sym)
-    eigval = jnp.maximum(eigval, floor)
-    return jnp.einsum("...ij,...j,...kj->...ik", eigvec, eigval, eigvec)
+    lmin = sym3_eigvalsh(sym)[..., 0]
+    # Conservative: sym3_eigvalsh may OVERestimate lmin by ~1e-4 * ||m||
+    # for clustered eigenvalues; subtract that allowance so the floor is a
+    # guarantee (the cost is an equally tiny extra bump).
+    norm_bound = jnp.abs(
+        sym[..., 0, 0] + sym[..., 1, 1] + sym[..., 2, 2]
+    ) + jnp.sqrt(
+        jnp.maximum(jnp.sum(sym * sym, axis=(-2, -1)), 0.0)
+    )
+    lmin = lmin - 2e-4 * norm_bound
+    bump = jnp.maximum(jnp.asarray(floor, sym.dtype) - lmin, 0.0)
+    return sym + bump[..., None, None] * jnp.eye(3, dtype=sym.dtype)
+
+
+def fast_logit_margin(W: jax.Array, coord_bound) -> jax.Array:
+    """Upper bound (nats) on the fused fast path's absolute logit error,
+    to be ADDED to the global softmax shift before folding it into the
+    packed weights.
+
+    The fast kernels compute -1/2 psi(y)^T W on the MXU from hi/lo-bf16
+    splits whose per-term relative error is ~2^-17 (phi side; the W side
+    carries ~24 bits) plus f32 accumulation over the 80-deep contraction.
+    The ABSOLUTE logit error therefore scales with the largest |terms|, not
+    with the result: for collapsed covariances (|W| ~ 1/cov_reg) it reaches
+    hundreds of octaves, violating the shift's upper-bound property and
+    overflowing exp2 into inf/NaN (observed on-chip as a level-1 tree-fit
+    collapse). Folding this bound into the shift makes exp2 overflow-proof
+    for ANY finite mixture at zero hot-path cost: softmax responsibilities
+    are shift-invariant and the lse correction is exact, so the only price
+    is `margin` octaves of underflow range (out of ~126).
+
+    coord_bound: bound on |coordinate| over points that carry nonzero
+    weight (zero-weight padding may sit anywhere; its huge quadratic terms
+    are sign-definite, so the relative error never flips their logits
+    positive). 2^-15 = 0.5 (the -1/2 logit factor) * 2^-14 (per-term error
+    bound with ~6x safety over the 2^-16.5 estimate).
+    """
+    B = jnp.asarray(coord_bound, jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    psi_max = jnp.stack([B * B] * 6 + [B] * 3 + [one])  # [10]
+    per_k = jnp.sum(jnp.abs(W[:PHI_DIM]) * psi_max[:, None], axis=0)  # [K]
+    # DEAD components (pi == 0) carry c ~ +2e30 from the -1e30 log-weight
+    # floor (precision_terms); their logits sit below every mask threshold
+    # already and must not blow up the margin. Live components have
+    # |c| <~ 1e8 (log pi >= log 1e-38, bounded logdet/quadratic), so the
+    # c row cleanly separates the two.
+    live = W[PHI_DIM - 1] < 1e28
+    margin = jnp.max(jnp.where(live, per_k, 0.0))
+    return (2.0 ** -15) * margin
 
 
 def mstep_update(
@@ -281,6 +368,7 @@ def mstep_update(
     cov_reg: float = 1e-6,
     cov_type: str = "full",
     min_weight: float = 1e-6,
+    cov_floor: jax.Array | float = 0.0,
 ) -> MixtureParams:
     """Closed-form M-step from sufficient statistics.
 
@@ -290,6 +378,13 @@ def mstep_update(
     Empty components (T0 ~ 0) keep an identity-ish covariance and pi -> 0
     rather than producing NaNs (matches the robustness the reference needed
     from its segmented reductions; SURVEY.md §8 "covariance PSD maintenance").
+
+    cov_floor: optional eigenvalue floor in data units^2 (on top of
+    cov_reg). Fit entry points pass a SCALE-AWARE value (~1e-4 x scene
+    variance) so covariance collapse on degenerate data saturates at a
+    physically tiny scale instead of driving packed precisions to
+    1/cov_reg magnitudes, where the fast kernels' bf16 logits lose all
+    accuracy (see gaussians.fast_logit_margin). Pass 0 to disable.
     """
     dtype = T1.dtype
     # Empty floor is RELATIVE to the data mass: a component holding less
@@ -313,6 +408,9 @@ def mstep_update(
         sigma = diag[..., None] * jnp.eye(3, dtype=dtype)
     sigma = sigma + cov_reg * jnp.eye(3, dtype=dtype)
     sigma = jnp.where(empty[:, None, None], jnp.eye(3, dtype=dtype), sigma)
-    sigma = psd_project(sigma, floor=jnp.maximum(cov_reg, 1e-9))
+    floor_eig = jnp.maximum(
+        jnp.asarray(cov_floor, dtype), jnp.maximum(cov_reg, 1e-9)
+    )
+    sigma = psd_floor(sigma, floor_eig)
     pi = jnp.where(empty, 0.0, pi)
     return MixtureParams(pi=pi, mu=mu, sigma=sigma)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hgmm import ops
-from hgmm.models.gmm import init_params
+from hgmm.models.gmm import init_params, scene_variance
 from hgmm.models.gmm_tree import seed_children
 from hgmm.models.pose import apply_wls_increment, solve_horn, solve_wls_increment
 from hgmm.models.se3 import Pose, se3_log
@@ -64,7 +64,7 @@ def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
     """Compiled sharded EM loop for a given mesh (cached per mesh/config)."""
 
     @jax.jit
-    def run(points, weights, init: MixtureParams, total, cov_reg):
+    def run(points, weights, init: MixtureParams, total, cov_reg, cov_floor):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
@@ -80,7 +80,10 @@ def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
             W = pack_loglik_weights(params)
             S, ll = stats_fn(points, weights, W, max_logit_params(params))
             T0, T1, T2 = ops.unpack_suffstats(S)
-            new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
+            new = mstep_update(
+                T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
+                cov_floor=cov_floor,
+            )
             return new, ll
 
         return jax.lax.scan(step, init, None, length=n_iters)
@@ -96,6 +99,7 @@ def sharded_em_fit(
     cov_reg: float = 1e-6,
     cov_type: str = "full",
     point_weights=None,
+    cov_floor_rel: float = 1e-4,
 ):
     """Distributed twin of hgmm.models.gmm.em_fit: identical math, stats
     psum'd over the mesh. Returns (params, loglik_history)."""
@@ -104,14 +108,16 @@ def sharded_em_fit(
     if point_weights is None:
         points, point_weights = pad_points_for_mesh(points, mesh)
     total = jnp.sum(point_weights)
+    cov_floor = cov_floor_rel * scene_variance(points, point_weights)
     run = _sharded_em_step(mesh, n_iters, cov_type)
-    return run(points, point_weights, init, total, cov_reg)
+    return run(points, point_weights, init, total, cov_reg, cov_floor)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
     @jax.jit
-    def run(points, weights, parent, children: MixtureParams, total, cov_reg):
+    def run(points, weights, parent, children: MixtureParams, total, cov_reg,
+            cov_floor):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
@@ -127,7 +133,10 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
             W = pack_loglik_weights(params)
             S, ll = stats_fn(points, weights, parent, W, max_logit_params(params))
             T0, T1, T2 = ops.unpack_suffstats(S)
-            new = mstep_update(T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type)
+            new = mstep_update(
+                T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
+                cov_floor=cov_floor,
+            )
             return new, ll
 
         params, lls = jax.lax.scan(step, children, None, length=em_iters)
@@ -169,6 +178,7 @@ def sharded_tree_fit(
     key=None,
     cov_reg: float = 1e-6,
     cov_type: str = "full",
+    cov_floor_rel: float = 1e-4,
 ):
     """Distributed level-synchronous GMM-tree build (config 5 + config 2).
 
@@ -184,10 +194,12 @@ def sharded_tree_fit(
     init0 = init_params(points, branch, key)  # before padding: real points only
     points, weights = pad_points_for_mesh(points, mesh)
     total = jnp.sum(weights)
+    cov_floor = cov_floor_rel * scene_variance(points, weights)
 
     params0, _ = sharded_em_fit(
         points, init0, mesh, n_iters=em_iters, cov_reg=cov_reg,
         cov_type=cov_type, point_weights=weights,
+        cov_floor_rel=cov_floor_rel,
     )
     parent = _assign0_fn(mesh)(points, pack_loglik_weights(params0))
     level_params = [params0]
@@ -195,7 +207,7 @@ def sharded_tree_fit(
     for _ in range(1, levels):
         children = seed_children(level_params[-1], branch)
         params_l, _, parent = run_level(
-            points, weights, parent, children, total, cov_reg
+            points, weights, parent, children, total, cov_reg, cov_floor
         )
         level_params.append(params_l)
     return GmmTree(levels=tuple(level_params), branch=branch)

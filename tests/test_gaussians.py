@@ -104,3 +104,85 @@ def test_precision_terms_shapes():
     np.testing.assert_allclose(
         jnp.einsum("kij,kj->ki", params.sigma, b), params.mu, rtol=1e-3, atol=1e-4
     )
+
+
+def test_sym3_eigvalsh_matches_lapack():
+    """Analytic 3x3 eigenvalues vs numpy, including degenerate cases
+    (duplicate eigenvalues, rank deficiency, diagonal, isotropic)."""
+    from hgmm.ops.gaussians import sym3_eigvalsh
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    mats = [a @ np.swapaxes(a, 1, 2)]  # random PSD
+    mats.append(np.broadcast_to(np.eye(3, dtype=np.float32), (4, 3, 3)))
+    mats.append(np.stack([np.diag([1e-6, 1e-6, 0.3]).astype(np.float32),
+                          np.diag([2.0, 2.0, 2.0]).astype(np.float32),
+                          np.zeros((3, 3), np.float32),
+                          np.diag([0.0, 0.0, 5.0]).astype(np.float32)]))
+    m = np.concatenate(mats)
+    got = np.asarray(sym3_eigvalsh(jnp.asarray(m)))
+    ref = np.linalg.eigvalsh(m.astype(np.float64))
+    scale = np.maximum(np.abs(ref).max(axis=1, keepdims=True), 1e-6)
+    # ~1e-4 * ||m|| worst case for clustered eigenvalues (acos near +-1).
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
+
+
+def test_psd_floor():
+    from hgmm.ops.gaussians import psd_floor, sym3_eigvalsh
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(32, 3, 3)).astype(np.float32) * 0.3
+    sigma = a @ np.swapaxes(a, 1, 2)
+    sigma[0] = np.diag([1e-9, 1e-9, 0.5])  # collapsed
+    sigma[1] -= 0.05 * np.eye(3, dtype=np.float32)  # possibly indefinite
+    out = psd_floor(jnp.asarray(sigma), 1e-3)
+    eigs = np.asarray(sym3_eigvalsh(out))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert eigs[:, 0].min() >= 1e-3 * (1 - 1e-3)
+
+
+def test_fast_path_overflow_proof_on_collapsed_mixture():
+    """A collapsed-covariance mixture (|W| ~ 1e6) must produce FINITE
+    stats/loglik through the fast kernels: the error-margin folded into the
+    global shift absorbs the bf16 logit error instead of letting exp2
+    overflow (the on-chip level-1 tree-fit NaN of round 3)."""
+    from hgmm.ops import fused_em
+
+    k = 16
+    mu = jax.random.normal(jax.random.PRNGKey(0), (k, 3))
+    sigma = jnp.broadcast_to(
+        jnp.diag(jnp.array([1e-6, 1e-6, 0.1])), (k, 3, 3)
+    )
+    params = MixtureParams(jnp.full((k,), 1.0 / k), mu, sigma)
+    pts = 2.0 * jax.random.normal(jax.random.PRNGKey(1), (300, 3))
+    W = pack_loglik_weights(params)
+    got = fused_em.em_stats(pts, W, tile=256)
+    assert bool(jnp.isfinite(got.S).all()), got.S
+    assert bool(jnp.isfinite(got.loglik))
+    # Healthy mixtures keep a sub-octave margin: responsibilities match the
+    # dense twin exactly as before.
+    healthy = _random_mixture(jax.random.PRNGKey(2), k)
+    Wh = pack_loglik_weights(healthy)
+    ref = em_ref.em_stats(pts, Wh)
+    got = fused_em.em_stats(pts, Wh, tile=256)
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
+
+
+def test_mstep_cov_floor():
+    """cov_floor keeps the smallest covariance eigenvalue at the floor even
+    when the stats describe perfectly coplanar points."""
+    from hgmm.ops.gaussians import sym3_eigvalsh
+
+    n, k = 500, 2
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, :2] = np.random.default_rng(3).normal(size=(n, 2))
+    gamma = np.zeros((n, k), np.float32)
+    gamma[: n // 2, 0] = 1.0
+    gamma[n // 2 :, 1] = 1.0
+    T0 = jnp.asarray(gamma.sum(0))
+    T1 = jnp.asarray(gamma.T @ pts)
+    T2 = jnp.asarray(np.einsum("nk,ni,nj->kij", gamma, pts, pts))
+    p = mstep_update(T0, T1, T2, float(n), cov_reg=1e-6, cov_floor=1e-3)
+    eigs = np.asarray(sym3_eigvalsh(p.sigma))
+    assert eigs[:, 0].min() >= 1e-3 * (1 - 1e-3)

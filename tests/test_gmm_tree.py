@@ -111,3 +111,27 @@ def test_node_complexity_range():
     c = node_complexity(MixtureParams(jnp.array([0.5, 0.5]), jnp.zeros((2, 3)), sigma))
     assert float(c[0]) > 0.3  # isotropic -> complex
     assert float(c[1]) < 0.01  # planar -> simple
+
+
+def test_tree_fit_degenerate_curve_data_stays_finite():
+    """Regression (round-3 on-chip NaN): fitting a deep tree to noiseless
+    curve data collapses leaf covariances; the scale-aware cov floor must
+    keep every level finite and the smallest eigenvalue at the floor, and
+    the fitted tree must still register."""
+    from hgmm.data.synthetic import make_cloud
+    from hgmm.models.gmm import scene_variance
+    from hgmm.ops.gaussians import sym3_eigvalsh
+
+    pts = make_cloud(jax.random.PRNGKey(4), 4000, kind="trefoil")
+    tree, lls = GmmTree.fit(
+        pts, branch=8, levels=3, em_iters=20, key=jax.random.PRNGKey(0)
+    )
+    floor = 1e-4 * float(scene_variance(pts))
+    for li, lv in enumerate(tree.levels):
+        assert bool(jnp.isfinite(lv.pi).all()), f"level {li} pi"
+        assert bool(jnp.isfinite(lv.mu).all()), f"level {li} mu"
+        assert bool(jnp.isfinite(lv.sigma).all()), f"level {li} sigma"
+        live = np.asarray(lv.pi) > 0
+        eigs = np.asarray(sym3_eigvalsh(lv.sigma))[live]
+        assert eigs[:, 0].min() >= floor * 0.98, (li, eigs[:, 0].min())
+    assert bool(jnp.isfinite(lls).all())
