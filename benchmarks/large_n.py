@@ -60,9 +60,11 @@ def main() -> None:
     pts = jnp.asarray(pts_np)
     init = init_params(pts, args.k, jax.random.PRNGKey(1))
 
+    from hgmm.utils.timing import sync
+
     def run():
         p, lls = sharded_em_fit(pts, init, mesh, n_iters=args.iters)
-        jax.block_until_ready(p.mu)
+        sync((p, lls))  # block_until_ready is a no-op on the axon tunnel
         return p, lls
 
     t0 = time.perf_counter()

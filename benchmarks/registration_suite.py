@@ -42,7 +42,7 @@ def main() -> None:
     from hgmm.utils.timing import time_fn
 
     def timed(fn):
-        out, median_s, _ = time_fn(fn, warmup=1, iters=1)
+        out, median_s, _ = time_fn(fn, warmup=1, iters=3)
         return out, median_s
 
     def report(name, pose, fit_s, reg_s, **extra):

@@ -146,11 +146,32 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _split_hi_lo(x):
+def _bf16_round(x):
+    """Round f32 to the nearest bf16 value, STAYING in f32.
+
+    At TRACE level this MUST be lax.reduce_precision, not
+    x.astype(bf16).astype(f32): under jit XLA's algebraic simplifier folds
+    the f32->bf16->f32 convert pair back to x (allow-excess-precision),
+    which silently zeroes the lo parts of the hi/lo splits below. Verified
+    on this TPU backend 2026-08-20: the jitted astype-based split returns
+    lo == 0 exactly while the eager one returns the true residual — every
+    jitted caller of the fast path was running at raw-bf16 logit accuracy,
+    overflowing the global-shift softmax bound and NaN-ing whole tree fits.
+    reduce_precision is an explicit HLO op the simplifier must honor.
+
+    INSIDE Pallas kernel bodies Mosaic has no reduce_precision lowering
+    (NotImplementedError), so the in-kernel splits keep the convert pair —
+    safe there because Mosaic lowers the kernel jaxpr primitive-by-primitive
+    without XLA's algebraic simplification (the on-chip kernel-vs-oracle
+    equivalence suite pins this: a folded in-kernel split would fail the
+    fp32-tolerance comparisons in tests/test_fused_em.py)."""
+    return jax.lax.reduce_precision(x, 8, 7)
+
+
+def _split_hi_lo(x, *, in_kernel: bool = False):
     """fp32 -> (bf16 hi, bf16 lo) with x ~= hi + lo (~16 mantissa bits)."""
-    hi = x.astype(_BF16)
-    lo = (x - hi.astype(_F32)).astype(_BF16)
-    return hi, lo
+    hi_f = x.astype(_BF16).astype(_F32) if in_kernel else _bf16_round(x)
+    return hi_f.astype(_BF16), (x - hi_f).astype(_BF16)
 
 
 def _split3(x):
@@ -160,12 +181,13 @@ def _split3(x):
     monomial-basis quadratic form cancels catastrophically there, so the
     logits matmul needs ~f32 product accuracy (a 2-way split leaves
     |W.phi| * 2^-16 absolute error — measured as multi-nat logit error and
-    EM-quality loss on thin-structure clouds)."""
-    hi = x.astype(_BF16)
-    r = x - hi.astype(_F32)
-    mid = r.astype(_BF16)
-    lo = (r - mid.astype(_F32)).astype(_BF16)
-    return hi, mid, lo
+    EM-quality loss on thin-structure clouds). Trace-level only (see
+    _bf16_round; never called inside kernel bodies)."""
+    hi_f = _bf16_round(x)
+    r = x - hi_f
+    mid_f = _bf16_round(r)
+    lo = (r - mid_f).astype(_BF16)
+    return hi_f.astype(_BF16), mid_f.astype(_BF16), lo
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +363,7 @@ def _logits_of(wt, phi):
     global shift on the fast path — are folded into wt; see prepare_mixture
     for the 80-deep split layout)."""
     if wt.dtype == _BF16:
-        hi, lo = _split_hi_lo(phi)
+        hi, lo = _split_hi_lo(phi, in_kernel=True)
         phi_cat = jnp.concatenate([hi, lo, hi, lo, hi], axis=0)  # [80, T]
         return jnp.dot(wt, phi_cat, preferred_element_type=_F32, precision=_LO)
     return jnp.dot(wt, phi, preferred_element_type=_F32, precision=_HI)
@@ -367,7 +389,7 @@ def _stats_dot_t(e, phi, fast: bool):
         return jax.lax.dot_general(
             phi, e, dims, preferred_element_type=_F32, precision=_HI
         )  # [16, K]
-    phi_hi, phi_lo = _split_hi_lo(phi)
+    phi_hi, phi_lo = _split_hi_lo(phi, in_kernel=True)
     phi_cat = jnp.concatenate([phi_hi, phi_lo], axis=0)  # [32, T]
     return jax.lax.dot_general(
         phi_cat, e, dims, preferred_element_type=_F32, precision=_LO
@@ -771,8 +793,8 @@ def _reg_stats_kernel(
     P = jnp.concatenate([x0, x1, x2, one], axis=0)
     Q = jnp.concatenate([nu0, nu1, nu2, w_eff], axis=0)
     if fast:
-        p_hi, p_lo = _split_hi_lo(P)
-        q_hi, q_lo = _split_hi_lo(Q)
+        p_hi, p_lo = _split_hi_lo(P, in_kernel=True)
+        q_hi, q_lo = _split_hi_lo(Q, in_kernel=True)
         pc = jnp.concatenate([p_hi, p_lo], axis=0)  # [8, T]
         qc = jnp.concatenate([q_hi, q_lo], axis=0)  # [8, T]
         o8 = jax.lax.dot_general(pc, qc, dims, preferred_element_type=_F32,
@@ -807,9 +829,9 @@ def _reg_stats_kernel(
     # term of BOTH A and b in a single bf16 dot (output padding is free).
     if fast:
         def _row_dot(J, MJ, r):
-            j_hi, j_lo = _split_hi_lo(J)
-            mj_hi, mj_lo = _split_hi_lo(MJ)
-            r_hi, r_lo = _split_hi_lo(r)
+            j_hi, j_lo = _split_hi_lo(J, in_kernel=True)
+            mj_hi, mj_lo = _split_hi_lo(MJ, in_kernel=True)
+            r_hi, r_lo = _split_hi_lo(r, in_kernel=True)
             lhs = jnp.concatenate([j_hi, j_lo], axis=0)  # [12, T]
             rhs = jnp.concatenate([mj_hi, mj_lo, r_hi, r_lo], axis=0)  # [14, T]
             o = jax.lax.dot_general(lhs, rhs, dims, preferred_element_type=_F32,

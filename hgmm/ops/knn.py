@@ -90,8 +90,8 @@ def _knn_kernel(q_ref, t_ref, out_i_ref, out_d_ref, *, tgt_tile, n_target):
     # 2026-08-17) — do not switch back.
     from hgmm.ops.fused_em import _split_hi_lo
 
-    lhs_hi, lhs_lo = _split_hi_lo(lhs)
-    rhs_hi, rhs_lo = _split_hi_lo(rhs)
+    lhs_hi, lhs_lo = _split_hi_lo(lhs, in_kernel=True)
+    rhs_hi, rhs_lo = _split_hi_lo(rhs, in_kernel=True)
     lhs_cat = jnp.concatenate([lhs_hi, lhs_hi, lhs_lo], axis=0)  # [24, Tt]
     rhs_cat = jnp.concatenate([rhs_hi, rhs_lo, rhs_hi], axis=0)  # [24, Tq]
     d2 = jax.lax.dot_general(

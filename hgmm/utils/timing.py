@@ -7,7 +7,34 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def sync(out) -> None:
+    """Force completion of every device computation `out` depends on.
+
+    `jax.block_until_ready` alone is NOT sufficient on this environment's
+    axon TPU-tunnel backend: it returns immediately (~0.2 ms) while the
+    dispatched program is still executing remotely (measured: a 26 s ICP
+    call "blocked" in 0.2 ms, so warmup never synced and timed iterations
+    measured only dispatch). A host-side scalar read is the only reliable
+    barrier, so we pull one element of every array leaf to the host.
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if isinstance(x, jax.Array)]
+    if not leaves:
+        return
+    jax.block_until_ready(leaves)
+    # One fused dispatch + one scalar transfer (~1 tunnel RTT total).
+    float(_first_sum(leaves))
+
+
+@jax.jit
+def _first_sum(leaves):
+    acc = jnp.zeros((), jnp.float32)
+    for x in leaves:
+        acc = acc + jnp.ravel(x)[0].astype(jnp.float32)
+    return acc
 
 
 def time_fn(
@@ -22,11 +49,11 @@ def time_fn(
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        sync(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
     return out, float(np.median(times)), times

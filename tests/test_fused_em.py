@@ -234,3 +234,35 @@ def test_fast_path_with_dead_components():
     np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
     np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
     assert float(jnp.max(jnp.abs(got.S[jnp.array([3, 11])]))) == 0.0
+
+
+def test_hi_lo_split_survives_jit():
+    """Convert-folding regression guard: under jit, XLA's algebraic
+    simplifier folds f32->bf16->f32 convert pairs (allow-excess-precision),
+    which silently zeroed the lo half of the hi/lo splits — every jitted
+    production pipeline then ran the 'fp32-accurate' fast path at raw bf16
+    logit accuracy, overflowing the global-shift softmax bound and NaN-ing
+    whole tree fits on the real chip (observed 2026-08-20). The trace-level
+    splits must use lax.reduce_precision, whose rounding the simplifier
+    cannot elide."""
+    x = jax.random.normal(jax.random.PRNGKey(50), (64, 16)) * 1e5
+
+    def lo_norm(x):
+        hi, lo = fused_em._split_hi_lo(x)
+        return jnp.sum(jnp.abs(lo.astype(jnp.float32)))
+
+    def lo3_norm(x):
+        hi, mid, lo = fused_em._split3(x)
+        return (jnp.sum(jnp.abs(mid.astype(jnp.float32))),
+                jnp.sum(jnp.abs(lo.astype(jnp.float32))))
+
+    eager = float(lo_norm(x))
+    jitted = float(jax.jit(lo_norm)(x))
+    assert eager > 0.0
+    # reduce_precision vs convert may RNE ties differently; the residual
+    # magnitude must survive jit (the folding bug returned exactly 0).
+    assert jitted > 0.5 * eager, (eager, jitted)
+    m_e, l_e = (float(v) for v in lo3_norm(x))
+    m_j, l_j = (float(v) for v in jax.jit(lo3_norm)(x))
+    assert m_e > 0.0 and l_e > 0.0
+    assert m_j > 0.5 * m_e and l_j > 0.1 * l_e, (m_e, l_e, m_j, l_j)

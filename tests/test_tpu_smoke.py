@@ -122,7 +122,11 @@ def test_smoke_estep_throughput():
     denominator, and the guard leaves headroom for short-run tunnel
     variance (bench targets >70% with its longer, steadier runs). Uses the
     exact bench shapes so the executable is shared with bench.py's
-    remote-compile cache entry."""
+    remote-compile cache entry. The per-call dispatch+sync RTT of the axon
+    tunnel (~10-25 ms, measured via a null call) is subtracted so the guard
+    tests the KERNEL, not the tunnel (at 20 sweeps the raw RTT alone eats
+    ~15% of the measurement and once pushed a healthy 72.8% kernel under
+    the guard)."""
     from hgmm.eval.roofline import estep_attainable
 
     N, K, sweeps = 1 << 21, 512, 20
@@ -145,13 +149,24 @@ def test_smoke_estep_throughput():
 
         return jax.lax.scan(body, jnp.float32(0.0), None, length=sweeps)[0]
 
+    @jax.jit
+    def null_call(sm):
+        return jnp.sum(sm)
+
     float(chain(phiw, phi48, wt, sm))  # compile + warm
+    float(null_call(sm))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(null_call(sm))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(chain(phiw, phi48, wt, sm))
         times.append(time.perf_counter() - t0)
-    pps = N / (float(np.median(times)) / sweeps)
+    pps = N / (max(float(np.median(times)) - rtt, 1e-9) / sweeps)
     att = estep_attainable(K)
     frac = pps / att.points_per_sec
     assert frac > 0.60, (
