@@ -31,7 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10 * (1 << 20))
     ap.add_argument("--k", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -60,7 +60,7 @@ def main() -> None:
     pts = jnp.asarray(pts_np)
     init = init_params(pts, args.k, jax.random.PRNGKey(1))
 
-    from hgmm.utils.timing import sync
+    from hgmm.utils.timing import measure_rtt, sync
 
     def run():
         p, lls = sharded_em_fit(pts, init, mesh, n_iters=args.iters)
@@ -75,7 +75,7 @@ def main() -> None:
         t0 = time.perf_counter()
         p, lls = run()
         times.append(time.perf_counter() - t0)
-    per_sweep = float(np.median(times)) / args.iters
+    per_sweep = max(float(np.median(times)) - measure_rtt(), 1e-9) / args.iters
 
     mem = {}
     try:

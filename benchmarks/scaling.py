@@ -27,7 +27,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--points-per-device", type=int, default=1 << 18)
     ap.add_argument("--k", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true", help="force CPU fake devices")
     args = ap.parse_args()
 
@@ -59,6 +59,10 @@ def main() -> None:
     # of the weak-scaling story measurable on a single chip (the collective
     # machinery must be ~free before multi-host efficiency can be >=80%).
     from hgmm.models.gmm import em_fit
+    from hgmm.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
+    print(f"# null-call rtt {rtt*1e3:.1f} ms (subtracted)", file=sys.stderr)
 
     n1 = args.points_per_device
     pts1 = make_cloud(jax.random.PRNGKey(0), n1, kind="trefoil")
@@ -74,7 +78,7 @@ def main() -> None:
         t0 = time.perf_counter()
         run_unsharded()
         times.append(time.perf_counter() - t0)
-    unsharded_pps = n1 / (float(np.median(times)) / args.iters)
+    unsharded_pps = n1 / (max(float(np.median(times)) - rtt, 1e-9) / args.iters)
 
     results = []
     base_pps = None
@@ -92,7 +96,7 @@ def main() -> None:
             p, _ = sharded_em_fit(pts, init, mesh, n_iters=args.iters)
             float(p.mu[0, 0])
             times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) / args.iters
+        dt = max(float(np.median(times)) - rtt, 1e-9) / args.iters
         pps = n / dt
         if base_pps is None:
             base_pps = pps / s  # per-device at s=1

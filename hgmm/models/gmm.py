@@ -84,12 +84,14 @@ def em_fit(
     else:
         total = jnp.sum(point_weights)
     cov_floor = cov_floor_rel * scene_variance(points, point_weights)
+    # Feature buffers built ONCE, outside the scan (ops.Prepared: XLA's
+    # loop-invariant code motion does not hoist them — measured 3.8x on
+    # full-EM throughput at N=2M, K=512).
+    prep = ops.prepare(points, point_weights)
 
     def step(params: MixtureParams, _):
         W = pack_loglik_weights(params)
-        stats = ops.em_stats(
-            points, W, point_weights, shift=max_logit_params(params)
-        )
+        stats = ops.em_stats(prep, W, shift=max_logit_params(params))
         T0, T1, T2 = ops.unpack_suffstats(stats.S)
         new = mstep_update(
             T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,

@@ -114,7 +114,9 @@ def _fit_tree(
     )
     level_params.append(params0)
     level_logliks.append(ll0[-1])
-    parent = ops.assign(points, pack_loglik_weights(params0))
+    # One prepare for every level's EM scan + assign (see ops.Prepared).
+    prep = ops.prepare(points, point_weights)
+    parent = ops.assign(prep, pack_loglik_weights(params0))
 
     for _ in range(1, levels):
         children = seed_children(level_params[-1], branch)
@@ -122,8 +124,7 @@ def _fit_tree(
         def em_step(p: MixtureParams, _):
             W = pack_loglik_weights(p)
             stats = ops.em_stats_masked(
-                points, W, parent, branch, point_weights,
-                shift=max_logit_params(p),
+                prep, W, parent, branch, shift=max_logit_params(p)
             )
             T0, T1, T2 = ops.unpack_suffstats(stats.S)
             new = mstep_update(
@@ -135,7 +136,7 @@ def _fit_tree(
         params_l, lls = jax.lax.scan(em_step, children, None, length=em_iters)
         level_params.append(params_l)
         level_logliks.append(lls[-1])
-        parent = ops.assign(points, pack_loglik_weights(params_l), parent, branch)
+        parent = ops.assign(prep, pack_loglik_weights(params_l), parent, branch)
 
     return tuple(level_params), jnp.stack(level_logliks)
 

@@ -616,28 +616,72 @@ def _em_stats_call(
     return s_out.T, ll_out[0, 0]
 
 
-def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION, shift=None):
-    """Pallas twin of em_ref.em_stats. Accepts [N,3] points or a prepared
-    [8, N_pad] buffer from prepare_points. The feature buffers built by
-    prepare_phi and the global shift are pure functions of the
-    (scan-invariant) points/mixture, so XLA hoists them out of EM-sweep
-    loops automatically."""
+def _fast_shift(W, coord_bound, shift):
+    """Resolve the fast path's folded softmax shift: caller-exact bound (or
+    the max_logit fallback) plus the bf16 logit-error margin.
+
+    Overflow-proofing: absorbing the error bound into the shift keeps exp2
+    from overflowing for any finite mixture (responsibilities are
+    shift-invariant; the lse correction is exact)."""
+    if shift is None:
+        shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+    return shift + fast_logit_margin(W, coord_bound)
+
+
+def em_stats_prepared(
+    phiw, phi48, coord_bound, W, outlier_logit=None, tile=DEFAULT_TILE,
+    precision=DEFAULT_PRECISION, shift=None,
+):
+    """em_stats on pre-built feature buffers (prepare_phi output).
+
+    Fit loops MUST use this (via ops.prepare) rather than passing raw
+    points per sweep: the [96, N]-sized feature buffers are loop-invariant
+    but too large for XLA's while-loop invariant code motion, so the
+    raw-points path rebuilds ~46 B/point of HBM traffic EVERY sweep —
+    measured on v5e as 182 Mpts/s full-EM vs 690 Mpts/s kernel-only at
+    N=2M, K=512. Only the O(K) mixture packing stays per-sweep here."""
     k = W.shape[1]
-    pts_t = prepare_points(points, point_weights, tile)
-    phiw, phi48 = prepare_phi(pts_t, None, tile, precision)
     if precision != "fast":
         shift = None
     else:
-        if shift is None:
-            shift = max_logit(W)  # fallback; see gaussians.max_logit_params
-        # Overflow-proofing: absorb the bf16 logit-error bound into the
-        # shift (responsibilities are shift-invariant; the lse correction
-        # is exact), so exp2 cannot overflow for any finite mixture.
-        shift = shift + fast_logit_margin(W, _coord_bound(pts_t))
+        shift = _fast_shift(W, coord_bound, shift)
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(outlier_logit, shift)
     s, ll = _em_stats_call(phiw, phi48, wt, sm, tile=tile)
     return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
+
+
+def em_stats_masked_prepared(
+    phiw, phi48, coord_bound, W, parent, branch, tile=DEFAULT_TILE,
+    precision=DEFAULT_PRECISION, shift=None,
+):
+    """em_stats_masked on pre-built feature buffers (see em_stats_prepared)."""
+    k = W.shape[1]
+    n_pad = phiw.shape[1]
+    par = parent.astype(jnp.int32)
+    par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
+    if precision != "fast":
+        shift = None
+    else:
+        shift = _fast_shift(W, coord_bound, shift)
+    wt = prepare_mixture(W, precision=precision, shift=shift)
+    sm = _softmax_scalars(None, shift)
+    s, ll = _em_stats_call(
+        phiw, phi48, wt, sm, parent=par, branch=branch, tile=tile
+    )
+    return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
+
+
+def em_stats(points, W, point_weights=None, outlier_logit=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION, shift=None):
+    """Pallas twin of em_ref.em_stats. Accepts [N,3] points or a prepared
+    [8, N_pad] buffer from prepare_points. One-shot entry — EM loops should
+    prepare once and call em_stats_prepared per sweep (see its docstring)."""
+    pts_t = prepare_points(points, point_weights, tile)
+    phiw, phi48 = prepare_phi(pts_t, None, tile, precision)
+    return em_stats_prepared(
+        phiw, phi48, _coord_bound(pts_t), W, outlier_logit, tile=tile,
+        precision=precision, shift=shift,
+    )
 
 
 def em_stats_masked(
@@ -645,24 +689,12 @@ def em_stats_masked(
     precision=DEFAULT_PRECISION, shift=None,
 ):
     """Pallas twin of em_ref.em_stats_masked (tree-fit child masking)."""
-    k = W.shape[1]
     pts_t = prepare_points(points, point_weights, tile)
     phiw, phi48 = prepare_phi(pts_t, None, tile, precision)
-    n_pad = phiw.shape[1]
-    par = parent.astype(jnp.int32)
-    par = jnp.pad(par, (0, n_pad - par.shape[0]), constant_values=-1)[None, :]
-    if precision != "fast":
-        shift = None
-    else:
-        if shift is None:
-            shift = max_logit(W)  # fallback; see gaussians.max_logit_params
-        shift = shift + fast_logit_margin(W, _coord_bound(pts_t))  # see em_stats
-    wt = prepare_mixture(W, precision=precision, shift=shift)
-    sm = _softmax_scalars(None, shift)
-    s, ll = _em_stats_call(
-        phiw, phi48, wt, sm, parent=par, branch=branch, tile=tile
+    return em_stats_masked_prepared(
+        phiw, phi48, _coord_bound(pts_t), W, parent, branch, tile=tile,
+        precision=precision, shift=shift,
     )
-    return EmStats(S=s[:k, :PHI_DIM], loglik=ll)
 
 
 # ---------------------------------------------------------------------------
@@ -685,9 +717,12 @@ def _assign_kernel(pts_ref, wt_ref, out_ref, *, branch, parent_ref=None):
 
 
 def assign(points, W, parent=None, branch=None, tile=DEFAULT_TILE, precision=DEFAULT_PRECISION):
-    """Pallas twin of em_ref.assign."""
-    n = points.shape[0]
+    """Pallas twin of em_ref.assign. Accepts raw [N, 3] points (returns [N])
+    or a prepared [8, N_pad] buffer (returns [N_pad]; padding columns get an
+    arbitrary component — their zero weight keeps them inert downstream)."""
+    prepared_in = points.ndim == 2 and points.shape[0] == 8 and points.shape[1] != 3
     pts_t = prepare_points(points, None, tile)
+    n = pts_t.shape[1] if prepared_in else points.shape[0]
     n_pad = pts_t.shape[1]
     t = min(tile, n_pad)
     wt = prepare_mixture(W, precision=precision)
@@ -879,10 +914,14 @@ def _prepare_aux(mu, A6, b3, precision: str = DEFAULT_PRECISION):
 def reg_stats(
     x, W, mu, A6, b3, pose, point_weights=None, top_k=None, outlier_logit=None,
     tile=DEFAULT_TILE, precision=DEFAULT_PRECISION, shift=None,
+    coord_bound=None,
 ):
     """Pallas twin of em_ref.reg_stats. The pose (R, t) is applied IN-KERNEL
     (SMEM scalars), so the [8, N_pad] source buffer from prepare_points is
-    reused untouched across every iteration of the registration scan."""
+    reused untouched across every iteration of the registration scan.
+
+    coord_bound: optional precomputed _coord_bound(pts_t) — registration
+    scans pass it (via ops.Prepared) to skip the per-iteration N-wide max."""
     R, t = pose
     pts_t = prepare_points(x, point_weights, tile)
     n_pad = pts_t.shape[1]
@@ -892,9 +931,11 @@ def reg_stats(
     else:
         if shift is None:
             shift = max_logit(W)  # fallback; see gaussians.max_logit_params
+        if coord_bound is None:
+            coord_bound = _coord_bound(pts_t)
         # Posed-coordinate bound: |(R x + t)_axis| <= ||x|| + ||t||
         # <= sqrt(3) * maxcoord(x) + ||t||. See em_stats.
-        bound = 1.7320508 * _coord_bound(pts_t) + jnp.linalg.norm(t)
+        bound = 1.7320508 * coord_bound + jnp.linalg.norm(t)
         shift = shift + fast_logit_margin(W, bound)
     wt = prepare_mixture(W, precision=precision, shift=shift)
     sm = _softmax_scalars(outlier_logit, shift)

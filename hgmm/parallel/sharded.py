@@ -59,26 +59,40 @@ def _psum_tree(tree):
     return jax.tree.map(lambda x: jax.lax.psum(x, _AXIS), tree)
 
 
+# check_vma=False on every shard_map here: the fused Pallas kernels the ops
+# dispatch to on TPU don't annotate varying-mesh-axes (vma) on their
+# pallas_call out_shapes, which jax.shard_map's default vma checking rejects
+# (ValueError at trace time — hit on the real chip by benchmarks/large_n.py;
+# the CPU fake-device tests dispatch to the dense jnp twins and never see
+# it). Collective placement is pinned by the tests instead: the fake-mesh
+# suite asserts sharded == single-device results bit-for-fp-tolerance.
 @functools.lru_cache(maxsize=None)
 def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
-    """Compiled sharded EM loop for a given mesh (cached per mesh/config)."""
+    """Compiled sharded EM loop for a given mesh (cached per mesh/config).
+
+    The WHOLE loop lives inside one shard_map: each device prepares its
+    point shard once (ops.Prepared — the big feature buffers must not be
+    rebuilt per sweep), the scan body psums the O(K) sufficient stats, and
+    every device runs the identical replicated M-step (standard
+    data-parallel optimizer-replication; psum outputs are bitwise equal
+    across devices, so the replicated states stay in sync)."""
 
     @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
     def run(points, weights, init: MixtureParams, total, cov_reg, cov_floor):
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None), P()),
-            out_specs=(P(None, None), P()),
-        )
-        def stats_fn(pts, w, W, shift):
-            st = ops.em_stats(pts, W, w, shift=shift)
-            st = _psum_tree(st)
-            return st.S, st.loglik
+        prep = ops.prepare(points, weights)
 
         def step(params, _):
             W = pack_loglik_weights(params)
-            S, ll = stats_fn(points, weights, W, max_logit_params(params))
+            st = ops.em_stats(prep, W, shift=max_logit_params(params))
+            S = jax.lax.psum(st.S, _AXIS)
+            ll = jax.lax.psum(st.loglik, _AXIS)
             T0, T1, T2 = ops.unpack_suffstats(S)
             new = mstep_update(
                 T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
@@ -115,23 +129,29 @@ def sharded_em_fit(
 
 @functools.lru_cache(maxsize=None)
 def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
+    """One tree level: masked-child EM scan + re-assignment, one shard_map
+    (same replicated-M-step structure as _sharded_em_step)."""
+
     @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(_AXIS)),
+    )
     def run(points, weights, parent, children: MixtureParams, total, cov_reg,
             cov_floor):
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(_AXIS, None), P(_AXIS), P(_AXIS), P(None, None), P()),
-            out_specs=(P(None, None), P()),
-        )
-        def stats_fn(pts, w, par, W, shift):
-            st = ops.em_stats_masked(pts, W, par, branch, w, shift=shift)
-            st = _psum_tree(st)
-            return st.S, st.loglik
+        n_local = points.shape[0]
+        prep = ops.prepare(points, weights)
 
         def step(params, _):
             W = pack_loglik_weights(params)
-            S, ll = stats_fn(points, weights, parent, W, max_logit_params(params))
+            st = ops.em_stats_masked(
+                prep, W, parent, branch, shift=max_logit_params(params)
+            )
+            S = jax.lax.psum(st.S, _AXIS)
+            ll = jax.lax.psum(st.loglik, _AXIS)
             T0, T1, T2 = ops.unpack_suffstats(S)
             new = mstep_update(
                 T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
@@ -140,17 +160,11 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
             return new, ll
 
         params, lls = jax.lax.scan(step, children, None, length=em_iters)
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None)),
-            out_specs=P(_AXIS),
-        )
-        def assign_fn(pts, par, W):
-            return ops.assign(pts, W, par, branch)
-
-        new_parent = assign_fn(points, parent, pack_loglik_weights(params))
+        # assign on the prepared buffer returns [N_pad_local]; slice back to
+        # the shard size so the global parent array keeps its layout.
+        new_parent = ops.assign(
+            prep, pack_loglik_weights(params), parent, branch
+        )[:n_local]
         return params, lls, new_parent
 
     return run
@@ -160,7 +174,7 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
 def _assign0_fn(mesh):
     @jax.jit
     @functools.partial(
-        jax.shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(_AXIS, None), P(None, None)), out_specs=P(_AXIS),
     )
     def f(pts, W):
@@ -225,33 +239,33 @@ def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: i
     from hgmm.pipelines.register import run_registration_scan
 
     @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
     def run(source, weights, params: MixtureParams, R0, t0, tol, outlier):
+        # Replicated O(K) model packing + one per-shard prepare; the whole
+        # registration scan (Horn/WLS phases, convergence cond) runs inside
+        # the shard_map with only the O(1) pose statistics psum'd.
         W = pack_loglik_weights(params)
         A_, b_, _ = precision_terms(params)
         A6, b3 = sym_pack(A_), b_
         mu = params.mu
         shift = max_logit_params(params)
+        prep = ops.prepare(source, weights)
 
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(_AXIS, None), P(_AXIS), P(None, None), P(None, None),
-                      P(None, None), P(None, None), P(None, None), P(None), P(),
-                      P()),
-            out_specs=(P(None, None), P(None, None), P(None), P()),
-        )
-        def stats_fn(x, w, Wm, mu_m, A6_m, b3_m, R, t, out_l, sh):
+        def stats_fn(R, t):
             st = ops.reg_stats(
-                x, Wm, mu_m, A6_m, b3_m, (R, t), w, top_k, out_l, shift=sh
+                prep, W, mu, A6, b3, (R, t), None, top_k, outlier, shift=shift
             )
             st = _psum_tree(st)
             return st.horn, st.A, st.b, st.loglik
 
         (R, t, done), lls, deltas = run_registration_scan(
-            lambda R, t: stats_fn(
-                source, weights, W, mu, A6, b3, R, t, outlier, shift
-            ),
-            R0, t0, n_iters, method, tol, wls_inner,
+            stats_fn, R0, t0, n_iters, method, tol, wls_inner
         )
         return R, t, done, lls, deltas
 

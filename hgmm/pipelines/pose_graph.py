@@ -186,6 +186,7 @@ def refine_chain_sharded(
             @functools.partial(
                 jax.shard_map,
                 mesh=mesh,
+                check_vma=False,
                 in_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS),
                           P(POINTS_AXIS)),
                 out_specs=(P(POINTS_AXIS), P(None), P()),

@@ -152,10 +152,13 @@ def register_points(
     if init_pose is None:
         init_pose = Pose.identity(source.dtype)
     W, mu, A6, b3, shift = model_terms(params)
+    # Transposed source buffer + coordinate bound built once, outside the
+    # scan (ops.Prepared) — each iteration re-reads only the static buffer.
+    prep = ops.prepare(source, point_weights)
 
     def stats_fn(R, t):
         st = ops.reg_stats(
-            source, W, mu, A6, b3, (R, t), point_weights, top_k, outlier_logit,
+            prep, W, mu, A6, b3, (R, t), None, top_k, outlier_logit,
             shift=shift,
         )
         return st.horn, st.A, st.b, st.loglik

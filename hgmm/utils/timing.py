@@ -57,3 +57,20 @@ def time_fn(
         sync(out)
         times.append(time.perf_counter() - t0)
     return out, float(np.median(times)), times
+
+
+def measure_rtt(iters: int = 3) -> float:
+    """Median dispatch+sync round-trip of a null jitted call (seconds).
+
+    On the axon TPU tunnel this is ~10-25 ms per call; benchmarks that
+    time short compiled calls subtract it so they report device time, not
+    tunnel latency."""
+    x = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(jnp.sum)
+    float(f(x))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
