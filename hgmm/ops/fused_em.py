@@ -62,7 +62,11 @@ from jax.experimental.pallas import tpu as pltpu
 from hgmm.ops.em_ref import NEG_INF, EmStats, RegStats
 from hgmm.ops.gaussians import PHI_DIM, fast_logit_margin, max_logit
 
-DEFAULT_TILE = 4096
+# Point-tile width. Measured on v5e at K=512, N~2M (RESULTS.md §5):
+# tile 2048 -> 2.58 ms/sweep, 4096 -> 2.52, 8192 -> 2.47 (16384 fails to
+# fit VMEM). Larger tiles amortize per-grid-step overhead; 8192 is ~2%
+# faster than 4096 and still leaves headroom at K<=1024.
+DEFAULT_TILE = 8192
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
