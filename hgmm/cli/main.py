@@ -107,7 +107,7 @@ def cmd_odometry(args) -> None:
         paths = paths[: args.max_frames]
     scans = (load_velodyne_bin(p) for p in paths)
     cfg = OdometryConfig(
-        model_kind="tree" if args.tree else "flat",
+        model_kind=args.model,
         voxel=args.voxel,
         bucket=args.bucket,
         fit_iters=args.fit_iters,
@@ -118,14 +118,25 @@ def cmd_odometry(args) -> None:
         ),
     )
     metrics = MetricsLog(args.metrics) if args.metrics else None
+    mesh = None
+    if args.sharded:
+        from hgmm.parallel import make_mesh
+
+        mesh = make_mesh()
     t0 = time.perf_counter()
     res = run_odometry(
         scans, cfg, checkpoint_path=args.checkpoint, checkpoint_every=10,
-        metrics=metrics,
+        metrics=metrics, mesh=mesh, detect_closures=args.detect_closures,
     )
     dt = time.perf_counter() - t0
+    if res.closures is not None:
+        pairs = list(
+            zip(np.asarray(res.closures.i).tolist(),
+                np.asarray(res.closures.j).tolist())
+        )
+        print(f"loop closures accepted: {pairs}")
     if args.refine:
-        refined = refine_odometry(res)
+        refined = refine_odometry(res, mesh=mesh)
         traj = np.asarray(refined.t)
     else:
         traj = np.stack([np.asarray(p.t) for p in res.abs_poses])
@@ -165,7 +176,7 @@ def cmd_icp(args) -> None:
 def cmd_bench(args) -> None:
     import runpy
 
-    sys.argv = ["bench.py"]
+    sys.argv = ["bench.py"] + (["--trace", args.trace] if args.trace else [])
     runpy.run_path(str(Path(__file__).resolve().parents[2] / "bench.py"), run_name="__main__")
 
 
@@ -204,7 +215,11 @@ def main(argv=None) -> None:
     o = sub.add_parser("odometry", help="KITTI sequence odometry")
     o.add_argument("sequence", help="KITTI sequence dir (with velodyne/)")
     o.add_argument("--max-frames", type=int, default=None)
-    o.add_argument("--tree", action="store_true", default=True)
+    o.add_argument(
+        "--model", choices=("tree", "flat"), default="tree",
+        help="per-frame target model (round-3 verdict: the old --tree flag "
+        "could never be false, making flat mode unreachable)",
+    )
     o.add_argument("--voxel", type=float, default=0.3)
     o.add_argument("--bucket", type=int, default=16384)
     o.add_argument("--fit-iters", type=int, default=10)
@@ -215,7 +230,19 @@ def main(argv=None) -> None:
         help="uniform outlier log-density (see OdometryConfig); nan disables",
     )
     o.add_argument("--checkpoint", default=None)
-    o.add_argument("--refine", action="store_true")
+    o.add_argument(
+        "--refine", action="store_true",
+        help="pose-graph refinement of the chain (+ detected closures)",
+    )
+    o.add_argument(
+        "--detect-closures", action="store_true",
+        help="propose + registration-verify loop closures, feed --refine",
+    )
+    o.add_argument(
+        "--sharded", action="store_true",
+        help="run fits/registrations/refinement points-sharded over the "
+        "full device mesh (config 5; Schur pose-graph path for --refine)",
+    )
     o.add_argument("--out", default=None)
     o.add_argument("--poses", default=None, help="KITTI poses.txt for ATE eval")
     o.add_argument("--calib", default=None, help="calib.txt (default: sequence dir)")
@@ -229,6 +256,10 @@ def main(argv=None) -> None:
     i.set_defaults(fn=cmd_icp)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
+    b.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler (Perfetto/TensorBoard) trace to DIR",
+    )
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -1,0 +1,155 @@
+"""Loop-closure detection from registered scan pairs (SURVEY.md §3.6;
+BASELINE.json north_star "pose-graph refinement over registered scan
+pairs").
+
+The reference performs pairwise registration only; closures here are the
+engine's own product: candidate non-adjacent frame pairs are proposed by
+pose proximity (translation distance + heading gate on the dead-reckoned
+trajectory), each candidate is VERIFIED by running the same tree/flat
+registration the odometry loop uses (initialized from the dead-reckoned
+relative pose), and survivors are emitted as an EdgeList with
+log-likelihood-derived weights for pose_graph refinement. No ground-truth
+edges are involved anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgmm.models.se3 import Pose, so3_log
+from hgmm.pipelines.pose_graph import EdgeList
+
+
+@dataclasses.dataclass
+class ClosureConfig:
+    """Candidate gating + acceptance thresholds for loop-closure detection.
+
+    Scale-free defaults: the proximity radius is expressed as a multiple
+    of the trajectory's median per-step translation, so the same config
+    works on unit-scale scans and metric-scale KITTI sequences.
+    """
+
+    min_separation: int = 5  # skip near-adjacent frames (chain covers them)
+    radius_steps: float = 2.0  # candidate gate: |t_i - t_j| < this x median step
+    max_heading: float = 1.2  # rad: relative rotation angle gate
+    max_candidates: int = 8  # verification budget (registrations are the cost)
+    accept_delta: float = 1e-3  # non-converged candidates need delta below this
+    # Accept if per-point loglik >= (chain median) + margin; margin < 0
+    # admits slightly-worse-than-chain overlaps (partial view overlap).
+    accept_loglik_margin: float = -1.5
+    weight_scale: float = 10.0  # max edge weight (chain edges weigh 1)
+    reg_iters: int | None = None  # override OdometryConfig.reg_iters
+
+
+def propose_candidates(
+    abs_poses: list[Pose], cfg: ClosureConfig
+) -> list[tuple[int, int]]:
+    """Pose-proximity candidate pairs (i < j), nearest first."""
+    t = np.stack([np.asarray(p.t) for p in abs_poses])  # [F, 3]
+    f = t.shape[0]
+    if f < cfg.min_separation + 2:
+        return []
+    steps = np.linalg.norm(np.diff(t, axis=0), axis=1)
+    med = float(np.median(steps)) if steps.size else 0.0
+    radius = cfg.radius_steps * max(med, 1e-12)
+    cands = []
+    for i in range(f):
+        for j in range(i + cfg.min_separation + 1, f):
+            d = float(np.linalg.norm(t[i] - t[j]))
+            if d >= radius:
+                continue
+            rel_R = np.asarray(abs_poses[i].R).T @ np.asarray(abs_poses[j].R)
+            angle = float(
+                np.linalg.norm(np.asarray(so3_log(jnp.asarray(rel_R))))
+            )
+            if angle > cfg.max_heading:
+                continue
+            cands.append((d, i, j))
+    cands.sort()
+    return [(i, j) for _, i, j in cands]
+
+
+def detect_loop_closures(
+    frames,
+    result,
+    odo_cfg,
+    config: ClosureConfig | None = None,
+    mesh=None,
+    metrics=None,
+) -> EdgeList | None:
+    """Verify proximity candidates by registration; emit accepted edges.
+
+    frames: list of (points [N,3], weights [N]) as built by run_odometry.
+    result: OdometryResult of the dead-reckoned chain (abs_poses, logliks).
+    odo_cfg: the OdometryConfig the chain ran with — closure verification
+    registers with the SAME model family/iteration budget so acceptance
+    thresholds are comparable with the chain logliks.
+    Returns an EdgeList (possibly empty -> None).
+    """
+    from hgmm.pipelines.odometry import _register_frames
+
+    cfg = config or ClosureConfig()
+    if cfg.reg_iters is not None:
+        odo_cfg = dataclasses.replace(odo_cfg, reg_iters=cfg.reg_iters)
+    cands = propose_candidates(result.abs_poses, cfg)[: cfg.max_candidates]
+    if not cands:
+        return None
+
+    # Per-point chain loglik reference: pair (k, k+1) registered the
+    # weighted source frame k+1.
+    chain_ll = []
+    for k, ll in enumerate(result.logliks):
+        tot = float(np.sum(frames[k + 1][1]))
+        chain_ll.append(ll / max(tot, 1.0))
+    ll_ref = float(np.nanmedian(chain_ll)) if chain_ll else np.nan
+
+    base_key = jax.random.PRNGKey(getattr(odo_cfg, "seed", 0))
+    accepted: list[tuple[int, int, Pose, float]] = []
+    used: set[int] = set()
+    for i, j in cands:
+        # One closure per neighborhood: endpoints also become keyframes of
+        # the sharded Schur solver, which admits at most S+1 of them.
+        if any(
+            abs(i - u) <= cfg.min_separation or abs(j - u) <= cfg.min_separation
+            for u in used
+        ):
+            continue
+        init = result.abs_poses[i].inverse().compose(result.abs_poses[j])
+        key = jax.random.fold_in(base_key, 100_000 + i * 1000 + j)
+        res = _register_frames(frames[i], frames[j], odo_cfg, key, init, mesh)
+        delta = float(res.deltas[-1])
+        ll_pp = float(res.logliks[-1]) / max(float(np.sum(frames[j][1])), 1.0)
+        ok_conv = bool(res.converged) or delta < cfg.accept_delta
+        ok_ll = (not np.isfinite(ll_ref)) or (
+            ll_pp >= ll_ref + cfg.accept_loglik_margin
+        )
+        if metrics is not None:
+            metrics.log(
+                {
+                    "event": "loop_closure_candidate", "i": i, "j": j,
+                    "accepted": bool(ok_conv and ok_ll), "loglik_pp": ll_pp,
+                    "loglik_ref": ll_ref, "delta": delta,
+                }
+            )
+        if not (ok_conv and ok_ll):
+            continue
+        # Log-likelihood-derived weight: at-or-above chain quality earns
+        # the full weight_scale, degrading smoothly (bounded at e^-3) for
+        # weaker overlaps.
+        rel_q = 0.0 if not np.isfinite(ll_ref) else min(ll_pp - ll_ref, 0.0)
+        w = cfg.weight_scale * float(np.exp(max(rel_q, -3.0)))
+        accepted.append((i, j, res.pose, w))
+        used.update((i, j))
+    if not accepted:
+        return None
+    return EdgeList(
+        i=jnp.asarray([a[0] for a in accepted], jnp.int32),
+        j=jnp.asarray([a[1] for a in accepted], jnp.int32),
+        R=jnp.stack([a[2].R for a in accepted]),
+        t=jnp.stack([a[2].t for a in accepted]),
+        weight=jnp.asarray([a[3] for a in accepted], jnp.float32),
+    )

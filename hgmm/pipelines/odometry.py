@@ -22,8 +22,11 @@ from hgmm.models.gmm import Gmm
 from hgmm.models.gmm_tree import GmmTree
 from hgmm.models.se3 import Pose
 from hgmm.pipelines.pose_graph import (
+    EdgeList,
     PoseGraphResult,
+    concat_edge_lists,
     odometry_chain_edges,
+    refine_chain_sharded,
     refine_pose_graph,
 )
 from hgmm.pipelines.register import register_points, register_tree
@@ -61,6 +64,11 @@ class OdometryResult:
     abs_poses: list[Pose]  # [F] absolute poses (frame 0 = identity)
     rel_poses: list[Pose]  # [F-1] frame k -> k+1
     logliks: list[float]  # final registration loglik per pair
+    # Loop closures detected by registering candidate non-adjacent pairs
+    # (run_odometry(detect_closures=True)); refine_odometry consumes them
+    # by default (SURVEY.md §3.6 "pose-graph refinement over registered
+    # scan pairs").
+    closures: EdgeList | None = None
 
 
 def _bucketize(points: np.ndarray, bucket: int, rng: np.random.Generator):
@@ -78,7 +86,10 @@ def _fit_model(points, weights, cfg: OdometryConfig, key):
     """Returns a GmmTree (tree kind — registered coarse-to-fine) or flat
     MixtureParams."""
     if cfg.model_kind == "flat":
-        gmm, _ = Gmm.fit(points, k=cfg.k, n_iters=cfg.fit_iters, key=key)
+        gmm, _ = Gmm.fit(
+            points, k=cfg.k, n_iters=cfg.fit_iters, key=key,
+            point_weights=weights,
+        )
         return gmm.params
     tree, _ = GmmTree.fit(
         points,
@@ -91,6 +102,45 @@ def _fit_model(points, weights, cfg: OdometryConfig, key):
     return tree
 
 
+def _register_frames(tgt, src, cfg: OdometryConfig, key, init: Pose, mesh):
+    """Fit a model to target frame points and register source frame onto it
+    (one odometry pair; also reused by loop-closure verification)."""
+    tgt_pts, tgt_w = tgt
+    src_pts, src_w = src
+    if mesh is not None:
+        from hgmm.parallel import sharded_register_tree, sharded_tree_fit
+
+        tree = sharded_tree_fit(
+            jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
+            levels=cfg.levels, em_iters=cfg.fit_iters, key=key,
+            point_weights=jnp.asarray(tgt_w),
+        )
+        return sharded_register_tree(
+            jnp.asarray(src_pts), tree, mesh, init_pose=init,
+            complexity_threshold=cfg.complexity_threshold,
+            n_iters=cfg.reg_iters, method=cfg.method, top_k=cfg.top_k,
+            outlier_logit=cfg.outlier_logit,
+            point_weights=jnp.asarray(src_w),
+        )
+    model = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, key)
+    reg_kw = dict(
+        init_pose=init,
+        n_iters=cfg.reg_iters,
+        method=cfg.method,
+        top_k=cfg.top_k,
+        outlier_logit=cfg.outlier_logit,
+        point_weights=jnp.asarray(src_w),
+    )
+    if isinstance(model, GmmTree):
+        # Coarse-to-fine down the tree: the leaf basin alone is smaller
+        # than typical frame motion (see register_tree).
+        return register_tree(
+            jnp.asarray(src_pts), model,
+            complexity_threshold=cfg.complexity_threshold, **reg_kw,
+        )
+    return register_points(jnp.asarray(src_pts), model, **reg_kw)
+
+
 def run_odometry(
     scans: Sequence[np.ndarray] | Iterable[np.ndarray],
     config: OdometryConfig | None = None,
@@ -98,6 +148,8 @@ def run_odometry(
     checkpoint_every: int = 10,
     mesh=None,
     metrics=None,
+    detect_closures: bool = False,
+    closure_config=None,
 ) -> OdometryResult:
     """Sequential scan-to-scan registration. `scans` yields [N_i, 3] arrays
     (use hgmm.data.kitti loaders for real sequences).
@@ -106,6 +158,10 @@ def run_odometry(
     points-sharded over it (config 5 of BASELINE.json: multi-host frames).
     metrics: optional hgmm.utils.profiling.MetricsLog — per-pair structured
     JSONL records (SURVEY.md §6.5).
+    detect_closures: after the scan-to-scan loop, propose loop-closure
+    candidates by pose proximity and verify them by registration
+    (pipelines.loop_closure); accepted edges land in result.closures and
+    feed refine_odometry by default.
     """
     cfg = config or OdometryConfig()
     from hgmm.data.kitti import voxel_downsample
@@ -135,47 +191,11 @@ def run_odometry(
     if rel_poses:
         prev_rel = rel_poses[-1]
     for i in range(start, f - 1):
-        tgt_pts, tgt_w = frames[i]
-        src_pts, src_w = frames[i + 1]
         # fold_in (not sequential split): resumed runs must see the same
         # per-pair key regardless of the start frame.
         kf = jax.random.fold_in(base_key, i)
         init = prev_rel if cfg.warm_start else Pose.identity()
-        if mesh is not None:
-            from hgmm.parallel.sharded import (
-                sharded_register_tree,
-                sharded_tree_fit,
-            )
-
-            tree = sharded_tree_fit(
-                jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
-                levels=cfg.levels, em_iters=cfg.fit_iters, key=kf,
-            )
-            res = sharded_register_tree(
-                jnp.asarray(src_pts), tree, mesh, init_pose=init,
-                complexity_threshold=cfg.complexity_threshold,
-                n_iters=cfg.reg_iters, method=cfg.method, top_k=cfg.top_k,
-                outlier_logit=cfg.outlier_logit,
-            )
-        else:
-            model = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, kf)
-            reg_kw = dict(
-                init_pose=init,
-                n_iters=cfg.reg_iters,
-                method=cfg.method,
-                top_k=cfg.top_k,
-                outlier_logit=cfg.outlier_logit,
-                point_weights=jnp.asarray(src_w),
-            )
-            if isinstance(model, GmmTree):
-                # Coarse-to-fine down the tree: the leaf basin alone is
-                # smaller than typical frame motion (see register_tree).
-                res = register_tree(
-                    jnp.asarray(src_pts), model,
-                    complexity_threshold=cfg.complexity_threshold, **reg_kw,
-                )
-            else:
-                res = register_points(jnp.asarray(src_pts), model, **reg_kw)
+        res = _register_frames(frames[i], frames[i + 1], cfg, kf, init, mesh)
         # res.pose maps source (frame i+1) points into frame i: that IS the
         # pose of frame i+1 expressed in frame i.
         rel = res.pose
@@ -190,25 +210,47 @@ def run_odometry(
 
     if checkpoint_path is not None:
         ckpt.save_odometry(checkpoint_path, f - 1, rel_poses, abs_poses)
-    return OdometryResult(abs_poses=abs_poses, rel_poses=rel_poses, logliks=logliks)
+    result = OdometryResult(
+        abs_poses=abs_poses, rel_poses=rel_poses, logliks=logliks
+    )
+    if detect_closures:
+        from hgmm.pipelines.loop_closure import detect_loop_closures
+
+        result.closures = detect_loop_closures(
+            frames, result, cfg, config=closure_config, mesh=mesh,
+            metrics=metrics,
+        )
+    return result
 
 
 def refine_odometry(
     result: OdometryResult,
     loop_closures=None,
     n_iters: int = 10,
+    mesh=None,
 ) -> PoseGraphResult:
     """Pose-graph refinement of an odometry run (SURVEY.md §3.6).
-    loop_closures: optional EdgeList to append to the chain."""
-    edges = odometry_chain_edges(result.rel_poses)
-    if loop_closures is not None:
-        edges = type(edges)(
-            i=jnp.concatenate([edges.i, loop_closures.i]),
-            j=jnp.concatenate([edges.j, loop_closures.j]),
-            R=jnp.concatenate([edges.R, loop_closures.R]),
-            t=jnp.concatenate([edges.t, loop_closures.t]),
-            weight=jnp.concatenate([edges.weight, loop_closures.weight]),
-        )
+
+    loop_closures: optional EdgeList to append to the chain; defaults to
+    the closures detected by run_odometry(detect_closures=True).
+    mesh: optional jax.sharding.Mesh — refinement runs through the
+    distributed segment-wise Schur solver (pose_graph.refine_chain_sharded:
+    keyframe/map blocks partitioned per device, BASELINE.json:5), which
+    handles arbitrary chain lengths and loop closures and falls back to
+    the dense solver for chains too short to shard.
+    """
+    if loop_closures is None:
+        loop_closures = result.closures
     R = jnp.stack([p.R for p in result.abs_poses])
     t = jnp.stack([p.t for p in result.abs_poses])
+    if mesh is not None:
+        return refine_chain_sharded(
+            R, t,
+            jnp.stack([p.R for p in result.rel_poses]),
+            jnp.stack([p.t for p in result.rel_poses]),
+            mesh, n_iters=n_iters, closures=loop_closures,
+        )
+    edges = odometry_chain_edges(result.rel_poses)
+    if loop_closures is not None:
+        edges = concat_edge_lists(edges, loop_closures)
     return refine_pose_graph(R, t, edges, n_iters=n_iters)

@@ -83,6 +83,139 @@ def test_loop_closure_reduces_drift():
     assert drift_after < 0.7 * drift_before, (drift_before, drift_after)
 
 
+def test_sharded_schur_arbitrary_length_matches_dense():
+    """Round-4: chains whose length is NOT S*L+1 shard exactly (weight-0
+    slot padding, no stiff-penalty approximation)."""
+    mesh = make_mesh()
+    s = mesh.devices.size
+    for m in (s * 2 + 4, s * 3 - 1, s + 3):
+        gt = _circle_traj(m)
+        keys = jax.random.split(jax.random.PRNGKey(3 + m), m)
+        rel = [_rel(gt[k], gt[k + 1]) for k in range(m - 1)]
+        init = [gt[0]] + [
+            gt[k].compose(random_pose(keys[k], 0.04, 0.04)) for k in range(1, m)
+        ]
+        R0, t0 = _stack(init)
+        edges = odometry_chain_edges(rel)
+        dense = refine_pose_graph(R0, t0, edges, n_iters=8, damping=1e-8)
+        shard = refine_chain_sharded(
+            R0, t0, edges.R, edges.t, mesh, n_iters=8, damping=1e-8
+        )
+        np.testing.assert_allclose(shard.t, dense.t, atol=1e-3)
+        np.testing.assert_allclose(shard.R, dense.R, atol=1e-3)
+        assert float(shard.residual_history[-1]) < 1e-5
+
+
+def test_sharded_schur_with_loop_closure_matches_dense():
+    """Round-4: loop-closure edges ride the psum'd keyframe system — the
+    sharded solve with a closure on an arbitrary-length noisy chain matches
+    the dense solve and reduces drift."""
+    mesh = make_mesh()
+    s = mesh.devices.size
+    m = s * 2 + 5  # non-divisible chain
+    gt = _circle_traj(m)
+    keys = jax.random.split(jax.random.PRNGKey(5), m)
+    noisy_rel = [
+        _rel(gt[k], gt[k + 1]).compose(random_pose(keys[k], 0.03, 0.03))
+        for k in range(m - 1)
+    ]
+    init = [gt[0]]
+    for z in noisy_rel:
+        init.append(init[-1].compose(z))
+    R0, t0 = _stack(init)
+    chain = odometry_chain_edges(noisy_rel)
+    lc = _rel(gt[m - 1], gt[0])
+    closures = EdgeList(
+        i=jnp.array([m - 1], jnp.int32),
+        j=jnp.array([0], jnp.int32),
+        R=lc.R[None], t=lc.t[None], weight=jnp.array([10.0]),
+    )
+    dense_edges = EdgeList(
+        i=jnp.concatenate([chain.i, closures.i]),
+        j=jnp.concatenate([chain.j, closures.j]),
+        R=jnp.concatenate([chain.R, closures.R]),
+        t=jnp.concatenate([chain.t, closures.t]),
+        weight=jnp.concatenate([chain.weight, closures.weight]),
+    )
+    dense = refine_pose_graph(R0, t0, dense_edges, n_iters=10, damping=1e-8)
+    shard = refine_chain_sharded(
+        R0, t0, chain.R, chain.t, mesh, n_iters=10, damping=1e-8,
+        closures=closures,
+    )
+    np.testing.assert_allclose(shard.t, dense.t, atol=1e-3)
+    np.testing.assert_allclose(shard.R, dense.R, atol=1e-3)
+    np.testing.assert_allclose(
+        shard.residual_history, dense.residual_history, rtol=1e-3, atol=1e-5
+    )
+    gtR, gtt = _stack(gt)
+    drift_before = float(jnp.linalg.norm(t0 - gtt))
+    drift_after = float(jnp.linalg.norm(shard.t - gtt))
+    # One closure constrains the loop sum, not interior sag — on this
+    # longer chain expect a solid but not 'matched-dense-with-many-edges'
+    # improvement (the exactness asserts above are the real test).
+    assert drift_after < 0.85 * drift_before, (drift_before, drift_after)
+
+
+def test_sharded_schur_interior_closure_promotes_keyframe():
+    """A closure whose endpoints are interior chain nodes forces those
+    nodes into the keyframe set; result still matches dense."""
+    mesh = make_mesh()
+    s = mesh.devices.size
+    m = 3 * s + 2
+    gt = _circle_traj(m)
+    keys = jax.random.split(jax.random.PRNGKey(6), m)
+    noisy_rel = [
+        _rel(gt[k], gt[k + 1]).compose(random_pose(keys[k], 0.02, 0.02))
+        for k in range(m - 1)
+    ]
+    init = [gt[0]]
+    for z in noisy_rel:
+        init.append(init[-1].compose(z))
+    R0, t0 = _stack(init)
+    chain = odometry_chain_edges(noisy_rel)
+    ci, cj = 3, m - 4  # interior, not multiples of any segment length
+    lc = _rel(gt[ci], gt[cj])
+    closures = EdgeList(
+        i=jnp.array([ci], jnp.int32), j=jnp.array([cj], jnp.int32),
+        R=lc.R[None], t=lc.t[None], weight=jnp.array([5.0]),
+    )
+    dense = refine_pose_graph(
+        R0, t0,
+        EdgeList(
+            i=jnp.concatenate([chain.i, closures.i]),
+            j=jnp.concatenate([chain.j, closures.j]),
+            R=jnp.concatenate([chain.R, closures.R]),
+            t=jnp.concatenate([chain.t, closures.t]),
+            weight=jnp.concatenate([chain.weight, closures.weight]),
+        ),
+        n_iters=8, damping=1e-8,
+    )
+    shard = refine_chain_sharded(
+        R0, t0, chain.R, chain.t, mesh, n_iters=8, damping=1e-8,
+        closures=closures,
+    )
+    np.testing.assert_allclose(shard.t, dense.t, atol=1e-3)
+    np.testing.assert_allclose(shard.R, dense.R, atol=1e-3)
+
+
+def test_sharded_schur_short_chain_falls_back_dense():
+    """Chains too short to shard (M-1 < n_devices) transparently dispatch
+    to the dense solver."""
+    mesh = make_mesh()
+    m = max(3, mesh.devices.size - 2)
+    gt = _circle_traj(m)
+    rel = [_rel(gt[k], gt[k + 1]) for k in range(m - 1)]
+    keys = jax.random.split(jax.random.PRNGKey(7), m)
+    init = [gt[0]] + [
+        gt[k].compose(random_pose(keys[k], 0.03, 0.03)) for k in range(1, m)
+    ]
+    R0, t0 = _stack(init)
+    edges = odometry_chain_edges(rel)
+    dense = refine_pose_graph(R0, t0, edges, n_iters=6)
+    shard = refine_chain_sharded(R0, t0, edges.R, edges.t, mesh, n_iters=6)
+    np.testing.assert_allclose(shard.t, dense.t, atol=1e-5)
+
+
 def test_sharded_schur_matches_dense():
     """Segment-wise Schur over an 8-device mesh == dense GN on the same
     chain (the distributed path is algebraically exact)."""
