@@ -25,16 +25,33 @@ from hgmm.ops.gaussians import (
 )
 
 
-def init_params(points: jax.Array, k: int, key: jax.Array) -> MixtureParams:
+def init_params(
+    points: jax.Array,
+    k: int,
+    key: jax.Array,
+    point_weights: jax.Array | None = None,
+) -> MixtureParams:
     """Random-subset means + isotropic covariance from the bounding box.
 
     Deterministic given `key`; jit-friendly (static k).
+
+    point_weights: initial means are drawn with probability proportional to
+    weight, so zero-weight padding rows (odometry bucketize pads zeros at
+    the origin) can never seed a dead component at the padding origin
+    (round-3 verdict item 6); the bounding box likewise ignores them.
     """
     n = points.shape[0]
-    idx = jax.random.choice(key, n, shape=(k,), replace=False)
+    if point_weights is None:
+        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        lo = jnp.min(points, axis=0)
+        hi = jnp.max(points, axis=0)
+    else:
+        p = point_weights / jnp.maximum(jnp.sum(point_weights), 1e-30)
+        idx = jax.random.choice(key, n, shape=(k,), replace=False, p=p)
+        live = (point_weights > 0)[:, None]
+        lo = jnp.min(jnp.where(live, points, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(live, points, -jnp.inf), axis=0)
     mu = points[idx]
-    lo = jnp.min(points, axis=0)
-    hi = jnp.max(points, axis=0)
     scale = jnp.maximum(jnp.max(hi - lo), 1e-6)
     var = (scale / max(k ** (1.0 / 3.0), 1.0)) ** 2
     sigma = jnp.broadcast_to(var * jnp.eye(3, dtype=points.dtype), (k, 3, 3))
@@ -127,13 +144,14 @@ class Gmm:
         cov_reg: float = 1e-6,
         cov_type: str = "full",
         cov_floor_rel: float = 1e-4,
+        point_weights: jax.Array | None = None,
     ) -> tuple["Gmm", jax.Array]:
         if key is None:
             key = jax.random.PRNGKey(0)
-        init = init_params(points, k, key)
+        init = init_params(points, k, key, point_weights=point_weights)
         params, logliks = em_fit(
             points, init, n_iters=n_iters, cov_reg=cov_reg, cov_type=cov_type,
-            cov_floor_rel=cov_floor_rel,
+            cov_floor_rel=cov_floor_rel, point_weights=point_weights,
         )
         return cls(params), logliks
 

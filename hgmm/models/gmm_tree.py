@@ -173,7 +173,7 @@ class GmmTree:
     ) -> tuple["GmmTree", jax.Array]:
         if key is None:
             key = jax.random.PRNGKey(0)
-        init0 = init_params(points, branch, key)
+        init0 = init_params(points, branch, key, point_weights=point_weights)
         lvls, logliks = _fit_tree(
             points, init0, branch, levels, em_iters, cov_reg, cov_type,
             point_weights, cov_floor_rel,

@@ -53,6 +53,7 @@ class Prepared:
     coord_bound: object = None  # scalar |coord| bound (pallas fast margin)
     points: object = None  # raw [N, 3] (ref)
     point_weights: object = None  # raw [N] or None (ref)
+    n: int = 0  # true (unpadded) point count — static shape metadata
 
 
 jax.tree_util.register_dataclass(
@@ -60,7 +61,7 @@ jax.tree_util.register_dataclass(
     data_fields=(
         "pts_t", "phiw", "phi48", "coord_bound", "points", "point_weights"
     ),
-    meta_fields=(),
+    meta_fields=("n",),
 )
 
 
@@ -71,6 +72,7 @@ def prepare(points, point_weights=None, coord_bound=None) -> Prepared:
     fast path's logit-error margin — pass a psum-maxed global bound from
     sharded callers so every shard folds the same shift.
     """
+    n = int(points.shape[0])
     if _pallas_active():
         from hgmm.ops import fused_em
 
@@ -79,14 +81,15 @@ def prepare(points, point_weights=None, coord_bound=None) -> Prepared:
         if coord_bound is None:
             coord_bound = fused_em._coord_bound(pts_t)
         return Prepared(
-            pts_t=pts_t, phiw=phiw, phi48=phi48, coord_bound=coord_bound
+            pts_t=pts_t, phiw=phiw, phi48=phi48, coord_bound=coord_bound, n=n
         )
-    return Prepared(points=points, point_weights=point_weights)
+    return Prepared(points=points, point_weights=point_weights, n=n)
 
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("auto", "ref", "pallas"), name
+    if name not in ("auto", "ref", "pallas"):
+        raise ValueError(f"unknown ops backend {name!r}")
     _BACKEND = name
 
 
@@ -113,7 +116,8 @@ def em_stats(points, W, point_weights=None, outlier_logit=None, shift=None) -> E
     REQUIRED for numerical robustness whenever the mixture may carry
     collapsed covariances (iterated fits); ignored by the dense twin."""
     if isinstance(points, Prepared):
-        assert point_weights is None, "weights are baked into Prepared"
+        if point_weights is not None:
+            raise ValueError("weights are baked into Prepared at prepare()")
         if points.phiw is not None:
             from hgmm.ops import fused_em
 
@@ -139,7 +143,8 @@ def em_stats_masked(
 
     points: raw [N, 3] or a Prepared (see em_stats)."""
     if isinstance(points, Prepared):
-        assert point_weights is None, "weights are baked into Prepared"
+        if point_weights is not None:
+            raise ValueError("weights are baked into Prepared at prepare()")
         if points.phiw is not None:
             from hgmm.ops import fused_em
 
@@ -160,17 +165,16 @@ def em_stats_masked(
 
 
 def assign(points, W, parent=None, branch=None):
-    """Per-point hard (argmax) component assignment.
-
-    points: raw [N, 3] (returns [N]) or a Prepared — Pallas-prepared input
-    returns [N_pad] (padding columns carry zero weight downstream, so their
-    arbitrary assignment is inert; ops.em_stats_masked pads parent anyway).
+    """Per-point hard (argmax) component assignment, shape [N] for [N, 3]
+    input on EVERY backend (the pallas kernel's internal tile padding is
+    sliced off via Prepared.n — round-3 advisor item: the output shape
+    must not depend on the dispatch backend).
     """
     if isinstance(points, Prepared):
         if points.pts_t is not None:
             from hgmm.ops import fused_em
 
-            return fused_em.assign(points.pts_t, W, parent, branch)
+            return fused_em.assign(points.pts_t, W, parent, branch)[: points.n]
         return em_ref.assign(points.points, W, parent, branch)
     if _pallas_active():
         from hgmm.ops import fused_em
@@ -189,7 +193,8 @@ def reg_stats(
     static [8, N_pad] source buffer is built once per call, not per
     iteration). pose: (R, t) applied to x in the op (in-kernel on TPU)."""
     if isinstance(x, Prepared):
-        assert point_weights is None, "weights are baked into Prepared"
+        if point_weights is not None:
+            raise ValueError("weights are baked into Prepared at prepare()")
         if x.pts_t is not None:
             from hgmm.ops import fused_em
 

@@ -142,7 +142,6 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
     )
     def run(points, weights, parent, children: MixtureParams, total, cov_reg,
             cov_floor):
-        n_local = points.shape[0]
         prep = ops.prepare(points, weights)
 
         def step(params, _):
@@ -160,11 +159,9 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
             return new, ll
 
         params, lls = jax.lax.scan(step, children, None, length=em_iters)
-        # assign on the prepared buffer returns [N_pad_local]; slice back to
-        # the shard size so the global parent array keeps its layout.
-        new_parent = ops.assign(
-            prep, pack_loglik_weights(params), parent, branch
-        )[:n_local]
+        # ops.assign returns the shard size [n_local] on every backend
+        # (Prepared.n), keeping the global parent array layout.
+        new_parent = ops.assign(prep, pack_loglik_weights(params), parent, branch)
         return params, lls, new_parent
 
     return run
@@ -193,20 +190,31 @@ def sharded_tree_fit(
     cov_reg: float = 1e-6,
     cov_type: str = "full",
     cov_floor_rel: float = 1e-4,
+    point_weights=None,
 ):
     """Distributed level-synchronous GMM-tree build (config 5 + config 2).
 
     Level 0 fits with sharded flat EM; deeper levels run the masked child
     EM with per-point parents sharded alongside the points. Returns a
-    GmmTree-compatible tuple of per-level MixtureParams."""
+    GmmTree-compatible tuple of per-level MixtureParams.
+
+    point_weights: optional per-point weights (callers that bucketize with
+    zero-weight padding, e.g. odometry, pass them so neither the init
+    seeding nor the fit sees the padding rows)."""
     from hgmm.models.gmm_tree import GmmTree
 
     if mesh is None:
         mesh = make_mesh()
     if key is None:
         key = jax.random.PRNGKey(0)
-    init0 = init_params(points, branch, key)  # before padding: real points only
-    points, weights = pad_points_for_mesh(points, mesh)
+    # Init before mesh padding: real points (weight-aware) only.
+    init0 = init_params(points, branch, key, point_weights=point_weights)
+    n = points.shape[0]
+    points, pad_w = pad_points_for_mesh(points, mesh)
+    if point_weights is None:
+        weights = pad_w
+    else:
+        weights = pad_w.at[:n].set(point_weights.astype(pad_w.dtype))
     total = jnp.sum(weights)
     cov_floor = cov_floor_rel * scene_variance(points, weights)
 
@@ -313,13 +321,22 @@ def sharded_register_points(
     top_k: int | None = None,
     outlier_logit: float | None = None,
     wls_inner: int = 2,
+    point_weights=None,
 ) -> ShardedRegResult:
-    """Distributed twin of pipelines.register.register_points."""
+    """Distributed twin of pipelines.register.register_points.
+
+    point_weights: optional per-point weights (zero-weight bucketize
+    padding must not contribute pose statistics)."""
     if mesh is None:
         mesh = make_mesh()
     if init_pose is None:
         init_pose = Pose.identity(source.dtype)
-    source, weights = pad_points_for_mesh(source, mesh)
+    n = source.shape[0]
+    source, pad_w = pad_points_for_mesh(source, mesh)
+    weights = (
+        pad_w if point_weights is None
+        else pad_w.at[:n].set(point_weights.astype(pad_w.dtype))
+    )
     outlier = jnp.float32(-1e30 if outlier_logit is None else outlier_logit)
     run = _sharded_register(mesh, n_iters, method, top_k, wls_inner)
     R, t, done, lls, deltas = run(

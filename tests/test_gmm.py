@@ -54,3 +54,24 @@ def test_fit_is_jittable_and_deterministic():
     g1, _ = Gmm.fit(pts, k=4, n_iters=5, key=jax.random.PRNGKey(7))
     g2, _ = Gmm.fit(pts, k=4, n_iters=5, key=jax.random.PRNGKey(7))
     np.testing.assert_array_equal(g1.params.mu, g2.params.mu)
+
+
+def test_init_params_never_seeds_padding_origin():
+    """Round-3 verdict item 6: zero-weight padding rows (bucketize pads
+    zeros at the origin) must never be drawn as initial means, and the
+    bounding-box scale must come from the live points only."""
+    from hgmm.models.gmm import init_params
+
+    key = jax.random.PRNGKey(0)
+    pts = 5.0 + 0.5 * jax.random.normal(key, (100, 3))  # live, far from 0
+    padded = jnp.concatenate([pts, jnp.zeros((156, 3))])
+    w = jnp.concatenate([jnp.ones(100), jnp.zeros(156)])
+    for seed in range(5):
+        init = init_params(padded, 16, jax.random.PRNGKey(seed), point_weights=w)
+        d = jnp.linalg.norm(init.mu, axis=1)
+        assert float(jnp.min(d)) > 1.0, "mean seeded at the padding origin"
+    # Bbox scale from live points (~3 units), not the 0..6.5 padded box.
+    unweighted = init_params(pts, 16, key)
+    np.testing.assert_allclose(
+        np.asarray(init.sigma[0]), np.asarray(unweighted.sigma[0]), rtol=0.5
+    )
