@@ -17,6 +17,8 @@ on this tunnel) is subtracted so the metric is DEVICE time — raw wall time
 is logged to stderr alongside for transparency.
 """
 
+import argparse
+import contextlib
 import json
 import sys
 import time
@@ -35,6 +37,17 @@ def log(*a):
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed sweeps to DIR "
+        "(TensorBoard/Perfetto; SURVEY.md §6.1)",
+    )
+    args = ap.parse_args()
+    run_bench(trace_dir=args.trace)
+
+
+def run_bench(trace_dir=None) -> None:
     from hgmm.eval.roofline import estep_attainable
     from hgmm.ops import fused_em
     from hgmm.ops.gaussians import MixtureParams, max_logit, pack_loglik_weights
@@ -78,11 +91,19 @@ def main() -> None:
     for _ in range(2):
         float(sweep_chain(phiw, phi48, wt, sm))
     rtt = measure_rtt()
+    if trace_dir is not None:
+        from hgmm.utils.profiling import trace
+
+        trace_ctx = trace(trace_dir)
+        log(f"profiler trace -> {trace_dir}")
+    else:
+        trace_ctx = contextlib.nullcontext()
     times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(sweep_chain(phiw, phi48, wt, sm))
-        times.append(time.perf_counter() - t0)
+    with trace_ctx:
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(sweep_chain(phiw, phi48, wt, sm))
+            times.append(time.perf_counter() - t0)
     raw_per_sweep = float(np.median(times)) / SWEEPS
     per_sweep = max(float(np.median(times)) - rtt, 1e-9) / SWEEPS
     log(

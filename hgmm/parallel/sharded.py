@@ -59,13 +59,24 @@ def _psum_tree(tree):
     return jax.tree.map(lambda x: jax.lax.psum(x, _AXIS), tree)
 
 
-# check_vma=False on every shard_map here: the fused Pallas kernels the ops
-# dispatch to on TPU don't annotate varying-mesh-axes (vma) on their
-# pallas_call out_shapes, which jax.shard_map's default vma checking rejects
-# (ValueError at trace time — hit on the real chip by benchmarks/large_n.py;
-# the CPU fake-device tests dispatch to the dense jnp twins and never see
-# it). Collective placement is pinned by the tests instead: the fake-mesh
-# suite asserts sharded == single-device results bit-for-fp-tolerance.
+def _global_coord_bound(points, weights):
+    """psum-maxed |coordinate| bound over LIVE points of every shard, so
+    each shard's ops.prepare folds the SAME fast-path shift — per-shard
+    bounds are mathematically benign (responsibilities are
+    shift-invariant) but introduce shard-count-dependent fp rounding in
+    the psum'd stats (round-3 advisor item 1)."""
+    live = (weights > 0).astype(points.dtype)[:, None]
+    return jax.lax.pmax(jnp.max(jnp.abs(points) * live), _AXIS)
+
+
+# check_vma is enabled whenever the ref backend is active (CPU fake-device
+# meshes — the vma check then audits collective placement for free, round-3
+# advisor item 2) and bypassed only when the fused Pallas kernels run: they
+# don't annotate varying-mesh-axes on their pallas_call out_shapes, which
+# jax.shard_map's default vma checking rejects (ValueError at trace time —
+# hit on the real chip by benchmarks/large_n.py). On the Pallas path,
+# collective placement is pinned by the fake-mesh equivalence tests
+# (sharded == single-device results to fp tolerance) instead.
 @functools.lru_cache(maxsize=None)
 def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
     """Compiled sharded EM loop for a given mesh (cached per mesh/config).
@@ -81,12 +92,15 @@ def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=False,
+        check_vma=not ops._pallas_active(),
         in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P()),
     )
     def run(points, weights, init: MixtureParams, total, cov_reg, cov_floor):
-        prep = ops.prepare(points, weights)
+        prep = ops.prepare(
+            points, weights,
+            coord_bound=_global_coord_bound(points, weights),
+        )
 
         def step(params, _):
             W = pack_loglik_weights(params)
@@ -136,13 +150,16 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=False,
+        check_vma=not ops._pallas_active(),
         in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P(), P(_AXIS)),
     )
     def run(points, weights, parent, children: MixtureParams, total, cov_reg,
             cov_floor):
-        prep = ops.prepare(points, weights)
+        prep = ops.prepare(
+            points, weights,
+            coord_bound=_global_coord_bound(points, weights),
+        )
 
         def step(params, _):
             W = pack_loglik_weights(params)
@@ -171,7 +188,7 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
 def _assign0_fn(mesh):
     @jax.jit
     @functools.partial(
-        jax.shard_map, mesh=mesh, check_vma=False,
+        jax.shard_map, mesh=mesh, check_vma=not ops._pallas_active(),
         in_specs=(P(_AXIS, None), P(None, None)), out_specs=P(_AXIS),
     )
     def f(pts, W):
@@ -250,7 +267,7 @@ def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: i
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=False,
+        check_vma=not ops._pallas_active(),
         in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
     )
@@ -263,7 +280,10 @@ def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: i
         A6, b3 = sym_pack(A_), b_
         mu = params.mu
         shift = max_logit_params(params)
-        prep = ops.prepare(source, weights)
+        prep = ops.prepare(
+            source, weights,
+            coord_bound=_global_coord_bound(source, weights),
+        )
 
         def stats_fn(R, t):
             st = ops.reg_stats(

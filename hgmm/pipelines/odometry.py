@@ -228,6 +228,7 @@ def refine_odometry(
     loop_closures=None,
     n_iters: int = 10,
     mesh=None,
+    robust_delta: float | None = None,
 ) -> PoseGraphResult:
     """Pose-graph refinement of an odometry run (SURVEY.md §3.6).
 
@@ -238,6 +239,9 @@ def refine_odometry(
     keyframe/map blocks partitioned per device, BASELINE.json:5), which
     handles arbitrary chain lengths and loop closures and falls back to
     the dense solver for chains too short to shard.
+    robust_delta: robust IRLS gate on edge residual norms — protects the
+    graph against a false-positive detected closure (pose_graph.
+    _robust_weight).
     """
     if loop_closures is None:
         loop_closures = result.closures
@@ -249,8 +253,10 @@ def refine_odometry(
             jnp.stack([p.R for p in result.rel_poses]),
             jnp.stack([p.t for p in result.rel_poses]),
             mesh, n_iters=n_iters, closures=loop_closures,
+            robust_delta=robust_delta,
         )
     edges = odometry_chain_edges(result.rel_poses)
     if loop_closures is not None:
         edges = concat_edge_lists(edges, loop_closures)
-    return refine_pose_graph(R, t, edges, n_iters=n_iters)
+    return refine_pose_graph(R, t, edges, n_iters=n_iters,
+                             robust_delta=robust_delta)

@@ -84,7 +84,22 @@ class PoseGraphResult(NamedTuple):
         return [Pose(self.R[m], self.t[m]) for m in range(self.R.shape[0])]
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _robust_weight(weight, res, robust_delta):
+    """IRLS Geman-McClure reweighting: the edge weight is scaled by
+    (delta^2 / (delta^2 + ||r||^2))^2 — ~1 for residuals below delta,
+    ~(delta/||r||)^4 above it. The kernel is REDESCENDING: a false loop
+    closure (gross outlier constraint) is effectively switched OFF rather
+    than merely bounded (a Huber/linear penalty still exerts a constant
+    weight*delta pull that measurably bends the whole graph — tested).
+    None = pure GN."""
+    if robust_delta is None:
+        return weight
+    r2 = jnp.sum(res * res, axis=1)
+    d2 = robust_delta * robust_delta
+    return weight * (d2 / (d2 + r2)) ** 2
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust_delta"))
 def refine_pose_graph(
     R: jax.Array,  # [M, 3, 3] initial absolute poses
     t: jax.Array,  # [M, 3]
@@ -92,9 +107,10 @@ def refine_pose_graph(
     n_iters: int = 10,
     damping: float = 1e-6,
     gauge_weight: float = 1e8,
+    robust_delta: float | None = None,
 ) -> PoseGraphResult:
     """Dense Gauss-Newton (single device; M up to a few hundred). Node 0 is
-    gauge-fixed by a strong prior."""
+    gauge-fixed by a strong prior. robust_delta: see _robust_weight."""
     m = R.shape[0]
 
     def gn_step(carry, _):
@@ -102,7 +118,8 @@ def refine_pose_graph(
         res, Ji, Jj = _res_and_jacs(
             R[edges.i], t[edges.i], R[edges.j], t[edges.j], edges.R, edges.t
         )  # [E,6], [E,6,6], [E,6,6]
-        w = edges.weight[:, None, None]
+        w_r = _robust_weight(edges.weight, res, robust_delta)
+        w = w_r[:, None, None]
         H = jnp.zeros((m, m, 6, 6), R.dtype)
         H = H.at[edges.i, edges.i].add(w * jnp.einsum("eai,eaj->eij", Ji, Ji))
         H = H.at[edges.j, edges.j].add(w * jnp.einsum("eai,eaj->eij", Jj, Jj))
@@ -110,10 +127,10 @@ def refine_pose_graph(
         H = H.at[edges.j, edges.i].add(w * jnp.einsum("eai,eaj->eij", Jj, Ji))
         g = jnp.zeros((m, 6), R.dtype)
         g = g.at[edges.i].add(
-            edges.weight[:, None] * jnp.einsum("eai,ea->ei", Ji, res)
+            w_r[:, None] * jnp.einsum("eai,ea->ei", Ji, res)
         )
         g = g.at[edges.j].add(
-            edges.weight[:, None] * jnp.einsum("eai,ea->ei", Jj, res)
+            w_r[:, None] * jnp.einsum("eai,ea->ei", Jj, res)
         )
         # Gauge prior on node 0 + Levenberg damping.
         H = H.at[0, 0].add(gauge_weight * jnp.eye(6, dtype=R.dtype))
@@ -123,7 +140,7 @@ def refine_pose_graph(
         upd = jax.vmap(se3_exp)(delta)
         R_new = jnp.einsum("mij,mjk->mik", R, upd.R)
         t_new = t + jnp.einsum("mij,mj->mi", R, upd.t)
-        cost = jnp.sum(edges.weight * jnp.sum(res * res, axis=1))
+        cost = jnp.sum(w_r * jnp.sum(res * res, axis=1))
         return (R_new, t_new), cost
 
     (R_out, t_out), costs = jax.lax.scan(gn_step, (R, t), None, length=n_iters)
@@ -209,6 +226,7 @@ def refine_chain_sharded(
     gauge_weight: float = 1e8,
     edge_weight: jax.Array | None = None,  # [M-1] chain-edge weights
     closures: EdgeList | None = None,  # loop closures (concrete node ids)
+    robust_delta: float | None = None,  # IRLS robust gate (see _robust_weight)
 ) -> PoseGraphResult:
     """Distributed GN for an odometry chain via segment-wise Schur
     complement over collectives (BASELINE.json:5; SURVEY.md §2.2 row 3).
@@ -269,7 +287,7 @@ def refine_chain_sharded(
             edges = concat_edge_lists(edges, closures)
         return refine_pose_graph(
             R, t, edges, n_iters=n_iters, damping=damping,
-            gauge_weight=gauge_weight,
+            gauge_weight=gauge_weight, robust_delta=robust_delta,
         )
 
     l_seg = seg["l_seg"]
@@ -312,18 +330,19 @@ def refine_chain_sharded(
             R_all[closures.j], t_all[closures.j],
             closures.R, closures.t,
         )
-        w = closures.weight[:, None, None]
+        w_r = _robust_weight(closures.weight, res, robust_delta)
+        w = w_r[:, None, None]
         HK = HK.at[cl_ki, cl_ki].add(w * jnp.einsum("eai,eaj->eij", Ji, Ji))
         HK = HK.at[cl_kj, cl_kj].add(w * jnp.einsum("eai,eaj->eij", Jj, Jj))
         HK = HK.at[cl_ki, cl_kj].add(w * jnp.einsum("eai,eaj->eij", Ji, Jj))
         HK = HK.at[cl_kj, cl_ki].add(w * jnp.einsum("eai,eaj->eij", Jj, Ji))
         gK = gK.at[cl_ki].add(
-            closures.weight[:, None] * jnp.einsum("eai,ea->ei", Ji, res)
+            w_r[:, None] * jnp.einsum("eai,ea->ei", Ji, res)
         )
         gK = gK.at[cl_kj].add(
-            closures.weight[:, None] * jnp.einsum("eai,ea->ei", Jj, res)
+            w_r[:, None] * jnp.einsum("eai,ea->ei", Jj, res)
         )
-        cost = jnp.sum(closures.weight * jnp.sum(res * res, axis=1))
+        cost = jnp.sum(w_r * jnp.sum(res * res, axis=1))
         return HK, gK, cost
 
     @jax.jit
@@ -337,7 +356,8 @@ def refine_chain_sharded(
             @functools.partial(
                 jax.shard_map,
                 mesh=mesh,
-                check_vma=False,
+                # Pure-jnp body (no Pallas) — keep the vma audit on.
+                check_vma=True,
                 in_specs=(P(POINTS_AXIS),) * 7 + (P(), P()),
                 out_specs=(P(POINTS_AXIS), P(None), P()),
             )
@@ -355,6 +375,7 @@ def refine_chain_sharded(
                 res, Ji, Jj = _res_and_jacs(
                     R_seg[pi], t_seg[pi], R_seg[pj], t_seg[pj], zR, zt
                 )
+                w = _robust_weight(w, res, robust_delta)
                 wJ = w[:, None, None]
                 A = jnp.zeros((l_seg + 1, l_seg + 1, 6, 6), dtype)
                 A = A.at[pi, pi].add(wJ * jnp.einsum("eai,eaj->eij", Ji, Ji))

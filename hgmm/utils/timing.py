@@ -59,12 +59,15 @@ def time_fn(
     return out, float(np.median(times)), times
 
 
-def measure_rtt(iters: int = 3) -> float:
+def measure_rtt(iters: int = 7) -> float:
     """Median dispatch+sync round-trip of a null jitted call (seconds).
 
     On the axon TPU tunnel this is ~10-25 ms per call; benchmarks that
     time short compiled calls subtract it so they report device time, not
-    tunnel latency."""
+    tunnel latency. The MEDIAN over 7 samples is the unbiased correction
+    for a median-of-calls measurement (each timed call embeds one draw
+    from the RTT distribution); regression GUARDS that must never flatter
+    the kernel use the minimum instead (test_tpu_smoke.py)."""
     x = jnp.zeros((8,), jnp.float32)
     f = jax.jit(jnp.sum)
     float(f(x))

@@ -18,10 +18,14 @@ from hgmm.pipelines.odometry import (
 )
 
 
-def _loop_sequence(n_frames=12, n_scene=4000, noise=0.003, seed=0):
-    """Sensor translates around a closed loop through a fixed scene (small
-    heading wiggle); the final frames return near the start, so frame pairs
-    like (0, n-1) genuinely overlap."""
+def _loop_sequence(n_frames=12, n_scene=4000, noise=0.004, fov=1.6, seed=0):
+    """Sensor drives a closed loop through a fixed scene with a swaying
+    heading, seeing only a +-fov-radian bearing sector per frame. The
+    partial, view-dependent overlap is the DRIFT SOURCE: scan-to-scan
+    registration of asymmetric views is systematically biased (measured
+    ATE ~0.03 on a 0.09-step loop, ~5x the noise floor), while the final
+    frames return near the start, so pairs like (0, n-1) genuinely overlap
+    for closure detection."""
     scene = make_cloud(jax.random.PRNGKey(seed), n_scene, kind="trefoil")
     step_len = 0.09
     radius = step_len * n_frames / (2 * np.pi)
@@ -31,15 +35,17 @@ def _loop_sequence(n_frames=12, n_scene=4000, noise=0.003, seed=0):
         t = jnp.array(
             [radius * np.cos(th) - radius, radius * np.sin(th), 0.0]
         )
-        R = so3_exp(jnp.array([0.0, 0.0, 0.04 * np.sin(3 * th)]))
+        R = so3_exp(jnp.array([0.0, 0.0, 0.3 * np.sin(th)]))
         gt.append(Pose(R, t))
     frames = []
     for k in range(n_frames):
-        pts = gt[k].inverse().apply(scene)
-        pts = pts + noise * jax.random.normal(
-            jax.random.PRNGKey(1000 + k), pts.shape
+        pts = np.asarray(gt[k].inverse().apply(scene))
+        bearing = np.arctan2(pts[:, 1], pts[:, 0])
+        pts = pts[np.abs(bearing) < fov]
+        pts = pts + noise * np.asarray(
+            jax.random.normal(jax.random.PRNGKey(1000 + k), pts.shape)
         )
-        frames.append(np.asarray(pts))
+        frames.append(pts.astype(np.float32))
     return frames, gt
 
 
@@ -57,10 +63,14 @@ def test_detected_closures_reduce_ate():
     reckoning with NO ground-truth edges (SURVEY.md §3.6 north star).
     Odometry runs an under-converged budget (drift source); closure
     verification uses the full budget."""
-    frames, gt = _loop_sequence()
+    frames, gt = _loop_sequence(n_frames=20)
+    # outlier gating on: sector-boundary points without mixture support
+    # otherwise bias every pair the same way, and a closure edge carrying
+    # the same common-mode bias as the chain cannot reduce ATE (measured:
+    # dead 0.061 -> refined 0.034 with gating, vs 0.049 -> 0.038 without).
     cfg = OdometryConfig(
-        model_kind="flat", k=24, fit_iters=10, reg_iters=7, bucket=1536,
-        outlier_logit=None, seed=0,
+        model_kind="flat", k=24, fit_iters=10, reg_iters=8, bucket=1536,
+        outlier_logit=-3.0, seed=0,
     )
     res = run_odometry(
         frames, cfg, detect_closures=True,

@@ -238,3 +238,50 @@ def test_sharded_schur_matches_dense():
     np.testing.assert_allclose(shard.t, dense.t, atol=1e-3)
     np.testing.assert_allclose(shard.R, dense.R, atol=1e-3)
     assert float(shard.residual_history[-1]) < 1e-5
+
+
+def test_robust_kernel_rejects_false_closure():
+    """A grossly wrong closure edge with the redescending Geman-McClure
+    kernel on is effectively switched off: the refined trajectory stays
+    near the chain-only solution instead of being dragged to the false
+    constraint; without it the same edge corrupts the graph. Dense and
+    sharded paths agree."""
+    mesh = make_mesh()
+    s = mesh.devices.size
+    m = 2 * s + 3
+    gt = _circle_traj(m)
+    keys = jax.random.split(jax.random.PRNGKey(9), m)
+    noisy_rel = [
+        _rel(gt[k], gt[k + 1]).compose(random_pose(keys[k], 0.01, 0.01))
+        for k in range(m - 1)
+    ]
+    init = [gt[0]]
+    for z in noisy_rel:
+        init.append(init[-1].compose(z))
+    R0, t0 = _stack(init)
+    chain = odometry_chain_edges(noisy_rel)
+    # False closure: claims node m-2 sits AT node 1 (wildly wrong).
+    false_lc = EdgeList(
+        i=jnp.array([1], jnp.int32), j=jnp.array([m - 2], jnp.int32),
+        R=jnp.eye(3)[None], t=jnp.zeros((1, 3)), weight=jnp.array([10.0]),
+    )
+    all_edges = EdgeList(
+        i=jnp.concatenate([chain.i, false_lc.i]),
+        j=jnp.concatenate([chain.j, false_lc.j]),
+        R=jnp.concatenate([chain.R, false_lc.R]),
+        t=jnp.concatenate([chain.t, false_lc.t]),
+        weight=jnp.concatenate([chain.weight, false_lc.weight]),
+    )
+    clean = refine_pose_graph(R0, t0, chain, n_iters=10)
+    corrupt = refine_pose_graph(R0, t0, all_edges, n_iters=10)
+    robust = refine_pose_graph(R0, t0, all_edges, n_iters=10, robust_delta=0.1)
+    d_corrupt = float(jnp.linalg.norm(corrupt.t - clean.t))
+    d_robust = float(jnp.linalg.norm(robust.t - clean.t))
+    assert d_corrupt > 1.0, d_corrupt  # the false edge really is damaging
+    assert d_robust < 0.05 * d_corrupt, (d_robust, d_corrupt)
+
+    shard = refine_chain_sharded(
+        R0, t0, chain.R, chain.t, mesh, n_iters=10, closures=false_lc,
+        robust_delta=0.1,
+    )
+    np.testing.assert_allclose(shard.t, robust.t, atol=1e-3)

@@ -117,16 +117,17 @@ def test_smoke_icp_uses_knn_kernel():
 @pytest.mark.skipif(not ON_TPU, reason="throughput guard needs the real chip")
 def test_smoke_estep_throughput():
     """Headline-regression guard: the bench-shaped fused sweep must stay
-    above 60% of the attainable (perfect-overlap) roofline — the shipped
-    kernel measures 72-74%, a round-1-scale regression sits at ~54% on this
-    denominator, and the guard leaves headroom for short-run tunnel
-    variance (bench targets >70% with its longer, steadier runs). Uses the
-    exact bench shapes so the executable is shared with bench.py's
-    remote-compile cache entry. The per-call dispatch+sync RTT of the axon
-    tunnel (~10-25 ms, measured via a null call) is subtracted so the guard
-    tests the KERNEL, not the tunnel (at 20 sweeps the raw RTT alone eats
-    ~15% of the measurement and once pushed a healthy 72.8% kernel under
-    the guard)."""
+    above 75% of the attainable (perfect-overlap) roofline — the shipped
+    kernel has measured 88-89% over three consecutive bench rounds, so a
+    round-2-scale regression (73%) now trips the guard while ~14 points of
+    headroom absorb short-run tunnel variance (round-3 verdict weak-item
+    5). Uses the exact bench shapes so the executable is shared with
+    bench.py's remote-compile cache entry. The per-call dispatch+sync RTT
+    of the axon tunnel (~10-25 ms, measured via a null call) is subtracted
+    so the guard tests the KERNEL, not the tunnel — conservatively: the
+    MINIMUM of 7 samples (the dispatch floor), further clamped to 40% of
+    the measured total, so an RTT spike can never inflate the kernel
+    fraction past the guard (round-3 advisor item 4)."""
     from hgmm.eval.roofline import estep_attainable
 
     N, K, sweeps = 1 << 21, 512, 20
@@ -156,20 +157,21 @@ def test_smoke_estep_throughput():
     float(chain(phiw, phi48, wt, sm))  # compile + warm
     float(null_call(sm))
     rtts = []
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         float(null_call(sm))
         rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(chain(phiw, phi48, wt, sm))
         times.append(time.perf_counter() - t0)
-    pps = N / (max(float(np.median(times)) - rtt, 1e-9) / sweeps)
+    total = float(np.median(times))
+    rtt = min(float(np.min(rtts)), 0.4 * total)  # dispatch floor, clamped
+    pps = N / ((total - rtt) / sweeps)
     att = estep_attainable(K)
     frac = pps / att.points_per_sec
-    assert frac > 0.60, (
+    assert frac > 0.75, (
         f"E-step throughput regressed: {pps/1e9:.3f} Gpts/s = "
-        f"{100*frac:.1f}% of roofline (guard: 60%)"
+        f"{100*frac:.1f}% of roofline (guard: 75%)"
     )
