@@ -85,7 +85,7 @@ def main():
             per_sweep = max(float(np.median(times)) - rtt, 1e-9) / SWEEPS
             pps = N / per_sweep
             att = estep_attainable(k)
-            att_mask = estep_attainable(k, vpu_passes=6.0)
+            att_mask = estep_attainable(k, extra_vpu_passes=4.0)
             row = dict(
                 k=k, masked=masked, ms=per_sweep * 1e3, gpts=pps / 1e9,
                 pct=100 * pps / att.points_per_sec, bound=att.bound,

@@ -46,7 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 K = 512
-T = 8192  # the shipped DEFAULT_TILE
+T = 2048  # rate-representative: contraction/output shapes match the
+# kernel; T only amortizes setup. (T=8192 f32 output blocks exceed the
+# 16 MB scoped-VMEM limit when accumulated as anti-DCE outputs.)
 
 
 def _logits_kernel(wt_ref, phi_ref, o_ref, *, reps):
@@ -148,7 +150,7 @@ def time_call(f, args, iters=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=1024)
     ap.add_argument("--r1", type=int, default=2)
     ap.add_argument("--r2", type=int, default=6)
     args = ap.parse_args()

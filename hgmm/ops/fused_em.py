@@ -62,11 +62,13 @@ from jax.experimental.pallas import tpu as pltpu
 from hgmm.ops.em_ref import NEG_INF, EmStats, RegStats
 from hgmm.ops.gaussians import PHI_DIM, fast_logit_margin, max_logit
 
-# Point-tile width. Measured on v5e at K=512, N~2M (RESULTS.md §5):
-# tile 2048 -> 2.58 ms/sweep, 4096 -> 2.52, 8192 -> 2.47 (16384 fails to
-# fit VMEM). Larger tiles amortize per-grid-step overhead; 8192 is ~2%
-# faster than 4096 and still leaves headroom at K<=1024.
-DEFAULT_TILE = 8192
+# Point-tile width. Measured on v5e at K=512, N~2M (RESULTS.md §1/§5):
+# with the round-3 MXU-sum kernel 8192 was ~2% faster than 4096; with the
+# round-4 VPU-sum normalizer the ranking flips (raw 50-sweep probes:
+# 8192 -> 2.92 ms/sweep, 4096 -> 2.69, 2048 -> 2.84) — the 16 MB f32
+# logits intermediate at 8192 sits at the scoped-VMEM limit and squeezes
+# double-buffering. 16384 fails to fit VMEM outright.
+DEFAULT_TILE = 4096
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
@@ -82,7 +84,11 @@ _BF16 = jnp.bfloat16
 #     ABSOLUTE octaves, i.e. up to ~8% responsibility error for points far
 #     below the global shift — measure both speed AND test tolerances.
 _FAST_VARIANT = int(_os.environ.get("HGMM_FAST_VARIANT", "0"))
-_MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "1") == "1"
+# Round-4 default flip: the kernel is MXU-bound (see eval/roofline.py
+# history note), so the normalizer sum moved OFF the MXU to the VPU —
+# measured 14% sweep win at K=512 (RESULTS.md §1). "1" restores the MXU
+# ones-row sum for measurement.
+_MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "0") == "1"
 # Intra-kernel sub-tiling of the point (lane) axis: with HGMM_SUBTILE=c the
 # fast-path em_stats body runs c independent logits->exp2->stats chains per
 # grid step, giving Mosaic explicit ILP to overlap chunk i's K x T/c exp2
@@ -433,16 +439,28 @@ def _softmax_fast(d, w_row, sm):
     responsibilities underflow, no outlier) get sum_e = 0 => zero stats and
     zero loglik, per the documented fast-path domain restriction.
     """
-    e = _exp_fast(d)
     if _MXU_SUM:
-        # Normalizer sum rides the MXU (f32 accumulate) instead of spending
-        # a K x T VPU reduction pass.
+        # Normalizer sum rides the MXU. Round-3 default — refuted by the
+        # round-4 microbenchmarks: the kernel is MXU-bound (not VPU-bound),
+        # so an [8,K]@[K,T] ones-sum adds ~130 ps/pt to the BOTTLENECK unit
+        # while the VPU has slack (measured 2.692 vs 3.127 ms/sweep at
+        # tile 4096, K=512 — the VPU sum wins by 14%). Kept as a switch
+        # for measurement.
+        e = _exp_fast(d)
         ones = jnp.ones((8, e.shape[0]), e.dtype)
         sum_e = jnp.dot(ones, e, preferred_element_type=_F32, precision=_LO)[
             0:1
         ]  # [1,T]
     else:
-        sum_e = jnp.sum(e.astype(_F32), axis=0, keepdims=True)
+        # VPU widening reduction over the ROUNDED e: summing the same
+        # values the stats matmul consumes keeps gamma mass conservation
+        # (sum_k gamma = w) consistent under bf16 rounding — summing the
+        # unrounded f32 exp2 output instead decorrelates numerator and
+        # denominator rounding (measured: pushed masked suff-stats just
+        # past the twin-equivalence tolerance). dtype=f32 lets Mosaic fuse
+        # the widening into the reduction, no materialized cast-back pass.
+        e = _exp_fast(d)
+        sum_e = jnp.sum(e, axis=0, keepdims=True, dtype=_F32)
     # _SCALE_FLOOR keeps scale * phi inside f32 even at the underflow edge;
     # its relative effect on live columns is < 2^-80.
     scale = w_row / (sum_e + sm[0, 0] + _SCALE_FLOOR)
