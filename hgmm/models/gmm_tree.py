@@ -78,10 +78,6 @@ def seed_children(parents: MixtureParams, branch: int) -> MixtureParams:
     return MixtureParams(pi=pi, mu=mu, sigma=sigma)
 
 
-class GmmTreeParams(tuple):
-    """Tuple of per-level MixtureParams (level l has branch^(l+1) comps)."""
-
-
 @partial(jax.jit, static_argnames=("branch", "levels", "em_iters", "cov_type"))
 def _fit_tree(
     points: jax.Array,

@@ -3,7 +3,6 @@ from hgmm.parallel.mesh import (
     initialize_multihost,
     make_mesh,
     points_sharding,
-    points_t_sharding,
     replicated,
     shard_points_from_host,
 )
@@ -24,7 +23,6 @@ __all__ = [
     "make_mesh",
     "pad_points_for_mesh",
     "points_sharding",
-    "points_t_sharding",
     "replicated",
     "shard_points_from_host",
     "sharded_em_fit",

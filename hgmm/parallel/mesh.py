@@ -37,11 +37,6 @@ def points_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(POINTS_AXIS))
 
 
-def points_t_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard dim 1 of the prepared [8, N] transposed layout."""
-    return NamedSharding(mesh, P(None, POINTS_AXIS))
-
-
 def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

@@ -28,10 +28,20 @@ def test_cli_register_and_fit(tmp_path, capsys):
 
     mix_p = tmp_path / "mix.npz"
     main(["fit-gmm", str(tgt_p), "--out", str(mix_p), "--k", "8", "--iters", "5"])
-    from hgmm.utils.checkpoint import load_mixture
+    from hgmm.utils.checkpoint import load_mixture, load_tree
 
     params = load_mixture(mix_p)
     assert params.pi.shape == (8,)
+
+    # Tree fit saves and reloads (checkpoint roundtrip, SURVEY.md §6.4).
+    tree_p = tmp_path / "tree.npz"
+    main([
+        "fit-gmm", str(tgt_p), "--tree", "--out", str(tree_p),
+        "--branch", "4", "--levels", "2", "--iters", "4",
+    ])
+    tree = load_tree(tree_p)
+    assert tree.branch == 4 and tree.n_leaves == 16
+    assert np.asarray(tree.levels[1].pi).shape == (16,)
 
 
 def test_cli_icp(tmp_path, capsys):

@@ -266,3 +266,27 @@ def test_hi_lo_split_survives_jit():
     m_j, l_j = (float(v) for v in jax.jit(lo3_norm)(x))
     assert m_e > 0.0 and l_e > 0.0
     assert m_j > 0.5 * m_e and l_j > 0.1 * l_e, (m_e, l_e, m_j, l_j)
+
+
+def test_backend_override_dispatch():
+    """ops.set_backend forces the dispatcher (get_backend restores): "ref"
+    pins the dense twins even where pallas would be picked, and bogus
+    names raise (round-3 advisor item 5: API guards are errors, not
+    asserts)."""
+    from hgmm import ops
+
+    pts = jax.random.normal(jax.random.PRNGKey(0), (64, 3))
+    prev = ops.get_backend()
+    try:
+        ops.set_backend("ref")
+        assert not ops._pallas_active()
+        prep = ops.prepare(pts)
+        assert prep.phiw is None and prep.points is not None
+        ops.set_backend("pallas")
+        assert ops._pallas_active()
+        with pytest.raises(ValueError):
+            ops.set_backend("bogus")
+        with pytest.raises(ValueError):
+            ops.em_stats(prep, jnp.zeros((10, 4)), point_weights=jnp.ones(64))
+    finally:
+        ops.set_backend(prev)

@@ -44,6 +44,10 @@ def test_register_flat_recovers_pose(method):
     err = registration_rmse(res.pose, source, gt)
     assert float(err) < 0.03, (method, float(err))
     assert float(rotation_error_deg(res.pose, gt)) < 3.0
+    from hgmm.eval.metrics import pose_delta_norm, translation_error
+
+    assert float(translation_error(res.pose, gt)) < 0.02
+    assert float(pose_delta_norm(res.pose, gt)) < 0.06
 
 
 def test_register_pair_end_to_end_flat():
