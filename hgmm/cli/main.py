@@ -135,8 +135,15 @@ def cmd_odometry(args) -> None:
                 np.asarray(res.closures.j).tolist())
         )
         print(f"loop closures accepted: {pairs}")
+    final_poses = res.abs_poses
     if args.refine:
         refined = refine_odometry(res, mesh=mesh)
+        from hgmm.models.se3 import Pose
+
+        final_poses = [
+            Pose(refined.R[m], refined.t[m])
+            for m in range(refined.R.shape[0])
+        ]
         traj = np.asarray(refined.t)
     else:
         traj = np.stack([np.asarray(p.t) for p in res.abs_poses])
@@ -152,12 +159,14 @@ def cmd_odometry(args) -> None:
         calib_path = args.calib or (seq / "calib.txt")
         gt = load_poses(args.poses)
         calib = load_calib_velo_to_cam(calib_path)
-        err = float(kitti_ate(res.abs_poses, gt, calib))
-        print(f"ATE vs ground truth: {err:.4f} m over {len(res.abs_poses)} frames")
+        # ATE of the trajectory actually written out (post-refinement when
+        # --refine ran; the dead-reckoned chain otherwise).
+        err = float(kitti_ate(final_poses, gt, calib))
+        print(f"ATE vs ground truth: {err:.4f} m over {len(final_poses)} frames")
         if metrics is not None:
             metrics.log(
-                {"event": "ate", "ate_m": err, "frames": len(res.abs_poses),
-                 "wall_s": dt}
+                {"event": "ate", "ate_m": err, "frames": len(final_poses),
+                 "wall_s": dt, "refined": bool(args.refine)}
             )
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hgmm.models.se3 import Pose, so3_log
+from hgmm.models.se3 import Pose, se3_exp, se3_log, so3_log
 from hgmm.pipelines.pose_graph import EdgeList
 
 
@@ -43,6 +43,14 @@ class ClosureConfig:
     accept_loglik_margin: float = -1.5
     weight_scale: float = 10.0  # max edge weight (chain edges weigh 1)
     reg_iters: int | None = None  # override OdometryConfig.reg_iters
+    # Reciprocal verification: ALSO register i onto j's model and require
+    # the two estimates to agree (||log(Z_fwd * Z_rev)|| below this
+    # fraction of the median step length). The strongest guard against a
+    # false positive — an aliased/symmetric scene rarely aliases the same
+    # way in both directions — at the cost of a second registration per
+    # candidate. Accepted edges use the geodesic mean of the two
+    # estimates. None disables.
+    reciprocal_tol: float | None = 0.5
 
 
 def propose_candidates(
@@ -73,6 +81,21 @@ def propose_candidates(
     return [(i, j) for _, i, j in cands]
 
 
+def reciprocal_check(fwd: Pose, rev: Pose, tol: float):
+    """Reciprocal-consistency gate + fusion for a verified pair.
+
+    fwd estimates Z (pose of j in frame i), rev estimates Z^-1. Returns
+    (consistent, fused, disagreement) where disagreement =
+    ||log(fwd^-1 o rev^-1)||, consistent = disagreement <= tol, and fused
+    = fwd o exp(log(fwd^-1 o rev^-1)/2) — the geodesic midpoint of fwd
+    and rev^-1 (exact: for fwd = Z exp(+e), rev^-1 = Z exp(-e) it returns
+    Z, cancelling direction-antisymmetric registration bias)."""
+    d = se3_log(fwd.inverse().compose(rev.inverse()))
+    dn = float(jnp.linalg.norm(d))
+    fused = fwd.compose(se3_exp(0.5 * d))
+    return dn <= tol, fused, dn
+
+
 def detect_loop_closures(
     frames,
     result,
@@ -98,6 +121,9 @@ def detect_loop_closures(
     cands = propose_candidates(result.abs_poses, cfg)[: cfg.max_candidates]
     if not cands:
         return None
+    t_all = np.stack([np.asarray(p.t) for p in result.abs_poses])
+    steps = np.linalg.norm(np.diff(t_all, axis=0), axis=1)
+    med_step = float(np.median(steps)) if steps.size else 1.0
 
     # Per-point chain loglik reference: pair (k, k+1) registered the
     # weighted source frame k+1.
@@ -127,22 +153,36 @@ def detect_loop_closures(
         ok_ll = (not np.isfinite(ll_ref)) or (
             ll_pp >= ll_ref + cfg.accept_loglik_margin
         )
+        pose, ok_recip, recip_d = res.pose, True, None
+        if ok_conv and ok_ll and cfg.reciprocal_tol is not None:
+            rev = _register_frames(
+                frames[j], frames[i], odo_cfg,
+                jax.random.fold_in(key, 1), init.inverse(), mesh,
+            )
+            ok_recip, pose, recip_d = reciprocal_check(
+                res.pose, rev.pose, cfg.reciprocal_tol * med_step
+            )
+            ok_recip = ok_recip and (
+                bool(rev.converged) or float(rev.deltas[-1]) < cfg.accept_delta
+            )
+        accepted_flag = bool(ok_conv and ok_ll and ok_recip)
         if metrics is not None:
             metrics.log(
                 {
                     "event": "loop_closure_candidate", "i": i, "j": j,
-                    "accepted": bool(ok_conv and ok_ll), "loglik_pp": ll_pp,
+                    "accepted": accepted_flag, "loglik_pp": ll_pp,
                     "loglik_ref": ll_ref, "delta": delta,
+                    "reciprocal_disagreement": recip_d,
                 }
             )
-        if not (ok_conv and ok_ll):
+        if not accepted_flag:
             continue
         # Log-likelihood-derived weight: at-or-above chain quality earns
         # the full weight_scale, degrading smoothly (bounded at e^-3) for
         # weaker overlaps.
         rel_q = 0.0 if not np.isfinite(ll_ref) else min(ll_pp - ll_ref, 0.0)
         w = cfg.weight_scale * float(np.exp(max(rel_q, -3.0)))
-        accepted.append((i, j, res.pose, w))
+        accepted.append((i, j, pose, w))
         used.update((i, j))
     if not accepted:
         return None

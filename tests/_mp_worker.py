@@ -69,6 +69,43 @@ def main() -> None:
     )
     reg = sharded_register_points(src, params, mesh, n_iters=20, method="horn")
 
+    # Distributed pose-graph over the SAME process-spanning mesh
+    # (BASELINE.json:11 "psum EM + pose-graph refinement over N>=2 hosts"):
+    # segment-wise Schur with a loop closure + robust kernel; every process
+    # runs the identical replicated program, keyframe psums cross the
+    # process boundary.
+    from hgmm.models.se3 import random_pose
+    from hgmm.pipelines.pose_graph import EdgeList, refine_chain_sharded
+
+    s_mesh = int(mesh.devices.size)
+    m = 2 * s_mesh + 3
+    keys = jax.random.split(jax.random.PRNGKey(11), 2 * m)
+    gt_nodes = [Pose.identity()]
+    rels = []
+    for k in range(m - 1):
+        step = random_pose(keys[k], 0.1, 0.2)
+        rels.append(step)
+        gt_nodes.append(gt_nodes[-1].compose(step))
+    noisy = [
+        r.compose(random_pose(keys[m + k], 0.02, 0.02))
+        for k, r in enumerate(rels)
+    ]
+    init_nodes = [gt_nodes[0]]
+    for z in noisy:
+        init_nodes.append(init_nodes[-1].compose(z))
+    R0 = jnp.stack([p.R for p in init_nodes])
+    t0 = jnp.stack([p.t for p in init_nodes])
+    lc = gt_nodes[1].inverse().compose(gt_nodes[m - 2])
+    closures = EdgeList(
+        i=jnp.array([1], jnp.int32), j=jnp.array([m - 2], jnp.int32),
+        R=lc.R[None], t=lc.t[None], weight=jnp.array([5.0]),
+    )
+    pg = refine_chain_sharded(
+        R0, t0,
+        jnp.stack([z.R for z in noisy]), jnp.stack([z.t for z in noisy]),
+        mesh, n_iters=6, damping=1e-8, closures=closures, robust_delta=5.0,
+    )
+
     if pid == 0:
         np.savez(
             out,
@@ -80,6 +117,15 @@ def main() -> None:
             t=np.asarray(reg.pose.t),
             gt_R=np.asarray(gt.R),
             gt_t=np.asarray(gt.t),
+            pg_R=np.asarray(pg.R),
+            pg_t=np.asarray(pg.t),
+            pg_cost=np.asarray(pg.residual_history),
+            pg_R0=np.asarray(R0),
+            pg_t0=np.asarray(t0),
+            pg_relR=np.asarray(jnp.stack([z.R for z in noisy])),
+            pg_relt=np.asarray(jnp.stack([z.t for z in noisy])),
+            pg_lcR=np.asarray(lc.R),
+            pg_lct=np.asarray(lc.t),
         )
     jax.distributed.shutdown()
 

@@ -114,3 +114,79 @@ def test_odometry_cli_ate(tmp_path, capsys):
     assert "registration" in events and "ate" in events
     ate_rec = [r for r in records if r["event"] == "ate"][0]
     assert ate_rec["frames"] == 3 and ate_rec["ate_m"] == pytest.approx(ate, abs=1e-3)
+
+
+def _write_loop_sequence(root: Path, n_frames=14):
+    """Generate a KITTI-format loop sequence (velodyne/.bin + poses.txt +
+    calib.txt, Tr = identity so cam poses == velodyne poses): sensor
+    drives a closed loop through a fixed scene with partial (sector)
+    views — the same drift source as tests/test_loop_closure.py but
+    serialized through the REAL dataset formats."""
+    import jax
+
+    from hgmm.data.kitti import save_velodyne_bin
+    from hgmm.data.synthetic import make_cloud
+    from hgmm.models.se3 import Pose, so3_exp
+
+    scene = make_cloud(jax.random.PRNGKey(3), 5000, kind="trefoil")
+    step_len = 0.09
+    radius = step_len * n_frames / (2 * np.pi)
+    gt = []
+    for k in range(n_frames):
+        th = 2 * np.pi * k / n_frames
+        t = jnp.array([radius * np.cos(th) - radius, radius * np.sin(th), 0.0])
+        gt.append(Pose(so3_exp(jnp.array([0.0, 0.0, 0.3 * np.sin(th)])), t))
+    velo = root / "velodyne"
+    velo.mkdir(parents=True)
+    for k in range(n_frames):
+        pts = np.asarray(gt[k].inverse().apply(scene))
+        bearing = np.arctan2(pts[:, 1], pts[:, 0])
+        pts = pts[np.abs(bearing) < 1.6]
+        pts = pts + 0.004 * np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2000 + k), pts.shape)
+        )
+        save_velodyne_bin(velo / f"{k:06d}.bin", pts.astype(np.float32))
+    with open(root / "poses.txt", "w") as f:
+        for p in gt:
+            m = np.concatenate(
+                [np.asarray(p.R), np.asarray(p.t)[:, None]], axis=1
+            )
+            f.write(" ".join(f"{v:.9e}" for v in m.reshape(-1)) + "\n")
+    with open(root / "calib.txt", "w") as f:
+        tr = np.eye(3, 4)
+        f.write("Tr: " + " ".join(f"{v:.9e}" for v in tr.reshape(-1)) + "\n")
+
+
+@pytest.mark.slow
+def test_odometry_cli_loop_closure_refine(tmp_path, capsys):
+    """Full SLAM loop through the CLI in real KITTI formats: detect
+    closures from registered scan pairs, refine the pose graph, and the
+    printed ATE (now of the REFINED trajectory) beats the dead-reckoned
+    run. No ground-truth edges anywhere."""
+    from hgmm.cli.main import main
+
+    seq = tmp_path / "seq"
+    _write_loop_sequence(seq)
+
+    def run(extra):
+        main(
+            [
+                "odometry", str(seq),
+                "--model", "flat",
+                "--bucket", "1536",
+                "--voxel", "0",
+                "--fit-iters", "10",
+                "--reg-iters", "8",
+                "--outlier-logit", "-3.0",
+                "--out", str(tmp_path / "traj.npy"),
+                "--poses", str(seq / "poses.txt"),
+            ]
+            + extra
+        )
+        out = capsys.readouterr().out
+        return float(out.split("ATE vs ground truth:")[1].split("m")[0]), out
+
+    dead_ate, _ = run([])
+    fixed_ate, out = run(["--detect-closures", "--refine"])
+    assert "loop closures accepted" in out, out
+    assert fixed_ate < 0.85 * dead_ate, (dead_ate, fixed_ate)

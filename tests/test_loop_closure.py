@@ -102,3 +102,26 @@ def test_detected_closures_reduce_ate():
         )
     )
     assert fixed_sh < 0.8 * dead, (dead, fixed_sh)
+
+
+def test_reciprocal_check_gates_and_fuses():
+    """Unit: consistent forward/reverse estimates fuse toward the mean;
+    inconsistent pairs (the false-positive signature) are gated."""
+    from hgmm.models.se3 import se3_exp
+    from hgmm.pipelines.loop_closure import reciprocal_check
+
+    Z = Pose(so3_exp(jnp.array([0.0, 0.1, 0.2])), jnp.array([0.5, -0.2, 0.1]))
+    eps = jnp.array([0.0, 0.0, 0.01, 0.02, -0.01, 0.0])
+    fwd = Z.compose(se3_exp(eps))  # forward biased by +eps
+    rev = Z.compose(se3_exp(-eps)).inverse()  # reverse biased by -eps
+    ok, fused, d = reciprocal_check(fwd, rev, tol=0.2)
+    assert ok and d < 0.2
+    # Antisymmetric bias cancels exactly at the geodesic midpoint.
+    err_fwd = float(jnp.linalg.norm(fwd.t - Z.t))
+    err_fused = float(jnp.linalg.norm(fused.t - Z.t))
+    assert err_fused < 0.1 * err_fwd
+    np.testing.assert_allclose(np.asarray(fused.R), np.asarray(Z.R), atol=1e-6)
+
+    bad_rev = Z.compose(se3_exp(jnp.array([0.0, 0.0, 0.5, 1.0, 0.0, 0.0]))).inverse()
+    ok_bad, _, d_bad = reciprocal_check(fwd, bad_rev, tol=0.2)
+    assert not ok_bad and d_bad > 0.2

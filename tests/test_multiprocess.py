@@ -87,3 +87,37 @@ def test_multiprocess_em_and_register(tmp_path):
     res = register_points(src, mp_params, n_iters=20, method="horn")
     np.testing.assert_allclose(got["R"], np.asarray(res.pose.R), atol=1e-4)
     np.testing.assert_allclose(got["t"], np.asarray(res.pose.t), atol=1e-4)
+
+    # Distributed pose-graph (BASELINE.json:11 "psum EM + pose-graph
+    # refinement over N>=2 hosts"): the 2-process sharded Schur solve with
+    # a loop closure + robust kernel must match the single-process dense
+    # solver on the exact edge set the workers used.
+    from hgmm.pipelines.pose_graph import (
+        EdgeList,
+        concat_edge_lists,
+        refine_pose_graph,
+    )
+
+    m = got["pg_R0"].shape[0]
+    chain = EdgeList(
+        i=jnp.arange(m - 1, dtype=jnp.int32),
+        j=jnp.arange(1, m, dtype=jnp.int32),
+        R=jnp.asarray(got["pg_relR"]),
+        t=jnp.asarray(got["pg_relt"]),
+        weight=jnp.ones((m - 1,), jnp.float32),
+    )
+    dense = refine_pose_graph(
+        jnp.asarray(got["pg_R0"]), jnp.asarray(got["pg_t0"]),
+        concat_edge_lists(
+            chain,
+            EdgeList(
+                i=jnp.array([1], jnp.int32), j=jnp.array([m - 2], jnp.int32),
+                R=jnp.asarray(got["pg_lcR"])[None],
+                t=jnp.asarray(got["pg_lct"])[None],
+                weight=jnp.array([5.0]),
+            ),
+        ),
+        n_iters=6, damping=1e-8, robust_delta=5.0,
+    )
+    np.testing.assert_allclose(got["pg_t"], np.asarray(dense.t), atol=1e-3)
+    np.testing.assert_allclose(got["pg_R"], np.asarray(dense.R), atol=1e-3)
