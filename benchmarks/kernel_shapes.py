@@ -4,7 +4,7 @@
 E+M sweeps, each against its shape-correct attainable roofline.
 
 - K=512 unmasked: the headline bench.py shape (registration/fit at leaf
-  resolution) — vpu passes 2 (exp2 + bf16 cast), typically VPU-bound.
+  resolution) — MXU-bound at the measured shape rates (RESULTS.md §1b).
 - K=64 unmasked: BASELINE config 1 (flat K=64) — HBM-bound at this K
   (the 224 B/pt feature stream dominates), so the % measures stream
   efficiency, not MXU/VPU.

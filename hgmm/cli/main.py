@@ -138,12 +138,7 @@ def cmd_odometry(args) -> None:
     final_poses = res.abs_poses
     if args.refine:
         refined = refine_odometry(res, mesh=mesh)
-        from hgmm.models.se3 import Pose
-
-        final_poses = [
-            Pose(refined.R[m], refined.t[m])
-            for m in range(refined.R.shape[0])
-        ]
+        final_poses = refined.poses()
         traj = np.asarray(refined.t)
     else:
         traj = np.stack([np.asarray(p.t) for p in res.abs_poses])
@@ -185,8 +180,15 @@ def cmd_icp(args) -> None:
 def cmd_bench(args) -> None:
     import runpy
 
+    saved_argv = sys.argv
     sys.argv = ["bench.py"] + (["--trace", args.trace] if args.trace else [])
-    runpy.run_path(str(Path(__file__).resolve().parents[2] / "bench.py"), run_name="__main__")
+    try:
+        runpy.run_path(
+            str(Path(__file__).resolve().parents[2] / "bench.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = saved_argv
 
 
 def main(argv=None) -> None:

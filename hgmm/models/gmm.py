@@ -46,6 +46,18 @@ def init_params(
         lo = jnp.min(points, axis=0)
         hi = jnp.max(points, axis=0)
     else:
+        if not isinstance(point_weights, jax.core.Tracer):
+            # Eager guard: choice(replace=False, p) runs out of p>0 entries
+            # and silently draws zero-weight padding rows — the exact
+            # dead-component failure this weighting exists to prevent.
+            import numpy as _np
+
+            n_live = int(_np.sum(_np.asarray(point_weights) > 0))
+            if n_live < k:
+                raise ValueError(
+                    f"init_params: only {n_live} positive-weight points for "
+                    f"k={k} components"
+                )
         p = point_weights / jnp.maximum(jnp.sum(point_weights), 1e-30)
         idx = jax.random.choice(key, n, shape=(k,), replace=False, p=p)
         live = (point_weights > 0)[:, None]

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hgmm.models.se3 import Pose, se3_exp, se3_log, so3_log
+from hgmm.models.se3 import Pose, se3_exp, se3_log
 from hgmm.pipelines.pose_graph import EdgeList
 
 
@@ -56,29 +56,31 @@ class ClosureConfig:
 def propose_candidates(
     abs_poses: list[Pose], cfg: ClosureConfig
 ) -> list[tuple[int, int]]:
-    """Pose-proximity candidate pairs (i < j), nearest first."""
+    """Pose-proximity candidate pairs (i < j), nearest first.
+
+    Vectorized numpy over all F^2 pairs (distance + relative-heading
+    gates via trace(Ri^T Rj)) — a 2000-frame KITTI sequence gates in
+    milliseconds, no per-pair device dispatch."""
     t = np.stack([np.asarray(p.t) for p in abs_poses])  # [F, 3]
+    R = np.stack([np.asarray(p.R) for p in abs_poses])  # [F, 3, 3]
     f = t.shape[0]
     if f < cfg.min_separation + 2:
         return []
     steps = np.linalg.norm(np.diff(t, axis=0), axis=1)
     med = float(np.median(steps)) if steps.size else 0.0
     radius = cfg.radius_steps * max(med, 1e-12)
-    cands = []
-    for i in range(f):
-        for j in range(i + cfg.min_separation + 1, f):
-            d = float(np.linalg.norm(t[i] - t[j]))
-            if d >= radius:
-                continue
-            rel_R = np.asarray(abs_poses[i].R).T @ np.asarray(abs_poses[j].R)
-            angle = float(
-                np.linalg.norm(np.asarray(so3_log(jnp.asarray(rel_R))))
-            )
-            if angle > cfg.max_heading:
-                continue
-            cands.append((d, i, j))
-    cands.sort()
-    return [(i, j) for _, i, j in cands]
+    dist = np.linalg.norm(t[:, None] - t[None, :], axis=-1)  # [F, F]
+    # Geodesic rotation angle: cos(theta) = (trace(Ri^T Rj) - 1) / 2.
+    tr = np.einsum("iab,jab->ij", R, R)
+    ang = np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+    ii, jj = np.meshgrid(np.arange(f), np.arange(f), indexing="ij")
+    ok = (
+        (jj - ii > cfg.min_separation)
+        & (dist < radius)
+        & (ang <= cfg.max_heading)
+    )
+    order = np.argsort(dist[ok], kind="stable")
+    return list(zip(ii[ok][order].tolist(), jj[ok][order].tolist()))
 
 
 def reciprocal_check(fwd: Pose, rev: Pose, tol: float):

@@ -108,19 +108,37 @@ def _register_frames(tgt, src, cfg: OdometryConfig, key, init: Pose, mesh):
     tgt_pts, tgt_w = tgt
     src_pts, src_w = src
     if mesh is not None:
-        from hgmm.parallel import sharded_register_tree, sharded_tree_fit
+        from hgmm.models.gmm import init_params
+        from hgmm.parallel import (
+            sharded_em_fit,
+            sharded_register_points,
+            sharded_register_tree,
+            sharded_tree_fit,
+        )
 
+        reg_kw = dict(
+            init_pose=init, n_iters=cfg.reg_iters, method=cfg.method,
+            top_k=cfg.top_k, outlier_logit=cfg.outlier_logit,
+            point_weights=jnp.asarray(src_w),
+        )
+        if cfg.model_kind == "flat":
+            tgt = jnp.asarray(tgt_pts)
+            tgt_wj = jnp.asarray(tgt_w)
+            params, _ = sharded_em_fit(
+                tgt, init_params(tgt, cfg.k, key, point_weights=tgt_wj),
+                mesh, n_iters=cfg.fit_iters, point_weights=tgt_wj,
+            )
+            return sharded_register_points(
+                jnp.asarray(src_pts), params, mesh, **reg_kw
+            )
         tree = sharded_tree_fit(
             jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
             levels=cfg.levels, em_iters=cfg.fit_iters, key=key,
             point_weights=jnp.asarray(tgt_w),
         )
         return sharded_register_tree(
-            jnp.asarray(src_pts), tree, mesh, init_pose=init,
-            complexity_threshold=cfg.complexity_threshold,
-            n_iters=cfg.reg_iters, method=cfg.method, top_k=cfg.top_k,
-            outlier_logit=cfg.outlier_logit,
-            point_weights=jnp.asarray(src_w),
+            jnp.asarray(src_pts), tree, mesh,
+            complexity_threshold=cfg.complexity_threshold, **reg_kw,
         )
     model = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, key)
     reg_kw = dict(

@@ -273,6 +273,14 @@ def refine_chain_sharded(
         closure_nodes = [int(x) for x in np.asarray(closures.i)] + [
             int(x) for x in np.asarray(closures.j)
         ]
+        # Validate eagerly: under jit an out-of-range gather index CLAMPS
+        # (a closure at node m would silently pin node m-1) — raise, don't
+        # fall through to a quietly-corrupted dense solve.
+        bad = [x for x in closure_nodes if x < 0 or x >= m]
+        if bad:
+            raise ValueError(
+                f"closure endpoints {bad} out of range for {m} nodes"
+            )
     else:
         closures = None
 

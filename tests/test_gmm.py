@@ -75,3 +75,16 @@ def test_init_params_never_seeds_padding_origin():
     np.testing.assert_allclose(
         np.asarray(init.sigma[0]), np.asarray(unweighted.sigma[0]), rtol=0.5
     )
+
+
+def test_init_params_raises_on_too_few_live_points():
+    """Eager guard: fewer positive-weight points than components must be a
+    loud error, not silent padding-origin means (review follow-up)."""
+    import pytest
+
+    from hgmm.models.gmm import init_params
+
+    pts = jnp.concatenate([jnp.ones((5, 3)), jnp.zeros((95, 3))])
+    w = jnp.concatenate([jnp.ones(5), jnp.zeros(95)])
+    with pytest.raises(ValueError, match="positive-weight"):
+        init_params(pts, 16, jax.random.PRNGKey(0), point_weights=w)

@@ -66,3 +66,19 @@ def test_refine_odometry_runs():
     refined = refine_odometry(res, n_iters=5)
     assert refined.R.shape[0] == len(gt)
     assert bool(jnp.all(jnp.isfinite(refined.t)))
+
+
+def test_sharded_odometry_respects_flat_model():
+    """--model flat under a mesh must fit the flat K-GMM, not silently a
+    tree (review finding: the sharded branch ignored model_kind)."""
+    from hgmm.parallel import make_mesh
+
+    frames, gt = _make_sequence(n_frames=3, n_scene=2000)
+    cfg = OdometryConfig(
+        model_kind="flat", k=16, fit_iters=8, reg_iters=12, bucket=1024,
+        outlier_logit=None,
+    )
+    res = run_odometry(frames, cfg, mesh=make_mesh())
+    from hgmm.eval.metrics import ate
+
+    assert float(ate(res.abs_poses, gt)) < 0.05
