@@ -27,4 +27,9 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 from hgmm.models.gmm import Gmm, GmmParams, fit_gmm  # noqa: F401
 from hgmm.models.gmm_tree import GmmTree, fit_gmm_tree  # noqa: F401
+from hgmm.pipelines.odometry import (  # noqa: F401
+    OdometryConfig,
+    refine_odometry,
+    run_odometry,
+)
 from hgmm.pipelines.register import register_pair  # noqa: F401

@@ -146,6 +146,26 @@ def cmd_odometry(args) -> None:
     np.save(out, traj)
     print(f"{len(res.abs_poses)} poses in {dt:.1f}s -> {out}")
 
+    if args.plot:
+        from hgmm.viz.export import export_trajectory
+
+        gt_traj = None
+        if args.poses:
+            from hgmm.data.kitti import load_calib_velo_to_cam, load_poses
+            from hgmm.eval.metrics import kitti_gt_trajectory
+
+            seq = Path(args.sequence)
+            calib_path = args.calib or (seq / "calib.txt")
+            gt_traj = kitti_gt_trajectory(
+                load_poses(args.poses), load_calib_velo_to_cam(calib_path)
+            )[: len(final_poses)]
+        export_trajectory(
+            args.plot, res.abs_poses, gt_poses=gt_traj,
+            refined_poses=(final_poses if args.refine else None),
+            closures=res.closures,
+        )
+        print(f"trajectory plot -> {args.plot}")
+
     if args.poses:
         # ATE against KITTI ground truth (BASELINE.json "KITTI pair ATE").
         from hgmm.eval.metrics import kitti_ate
@@ -255,6 +275,11 @@ def main(argv=None) -> None:
         "full device mesh (config 5; Schur pose-graph path for --refine)",
     )
     o.add_argument("--out", default=None)
+    o.add_argument(
+        "--plot", default=None, metavar="PNG",
+        help="top-down trajectory plot (odometry vs refined vs ground "
+        "truth, closure chords)",
+    )
     o.add_argument("--poses", default=None, help="KITTI poses.txt for ATE eval")
     o.add_argument("--calib", default=None, help="calib.txt (default: sequence dir)")
     o.add_argument("--metrics", default=None, help="JSONL metrics sink path")

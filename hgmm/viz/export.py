@@ -63,3 +63,53 @@ def save_snapshot(path, target, aligned) -> None:
     ax.legend()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def export_trajectory(
+    path,
+    est_poses,
+    gt_poses=None,
+    refined_poses=None,
+    closures=None,
+) -> None:
+    """Top-down trajectory plot (matplotlib, best-effort): dead-reckoned
+    chain, optional ground truth / refined overlay, detected loop-closure
+    edges drawn as chords. The odometry CLI writes this next to the
+    trajectory when --plot is given (SURVEY.md §2.1 item 3: offline
+    mapping of the reference's live viewer)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    import numpy as np
+
+    def _xy(poses):
+        return np.stack([np.asarray(p.t) for p in poses])[:, :2]
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    est = _xy(est_poses)
+    ax.plot(est[:, 0], est[:, 1], "o-", ms=3, color="#c22", label="odometry")
+    if refined_poses is not None:
+        ref = _xy(refined_poses)
+        ax.plot(ref[:, 0], ref[:, 1], "o-", ms=3, color="#16a",
+                label="refined")
+    if gt_poses is not None:
+        gt = _xy(gt_poses)
+        ax.plot(gt[:, 0], gt[:, 1], "--", color="gray", label="ground truth")
+    if closures is not None:
+        base = _xy(refined_poses if refined_poses is not None else est_poses)
+        for a, b in zip(np.asarray(closures.i), np.asarray(closures.j)):
+            ax.plot(
+                base[[int(a), int(b)], 0], base[[int(a), int(b)], 1],
+                ":", color="#3a3", lw=1.5,
+                label="loop closure" if int(a) == int(closures.i[0]) else None,
+            )
+    ax.set_aspect("equal")
+    ax.legend()
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

@@ -187,6 +187,10 @@ def test_odometry_cli_loop_closure_refine(tmp_path, capsys):
         return float(out.split("ATE vs ground truth:")[1].split("m")[0]), out
 
     dead_ate, _ = run([])
-    fixed_ate, out = run(["--detect-closures", "--refine"])
+    plot = tmp_path / "traj.png"
+    fixed_ate, out = run(
+        ["--detect-closures", "--refine", "--plot", str(plot)]
+    )
     assert "loop closures accepted" in out, out
     assert fixed_ate < 0.85 * dead_ate, (dead_ate, fixed_ate)
+    assert plot.exists() and plot.stat().st_size > 0  # viz export wired

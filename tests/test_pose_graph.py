@@ -285,3 +285,58 @@ def test_robust_kernel_rejects_false_closure():
         robust_delta=0.1,
     )
     np.testing.assert_allclose(shard.t, robust.t, atol=1e-3)
+
+
+def test_sharded_schur_property_sweep():
+    """Property sweep: random chain lengths x random closure placements
+    must all match the dense oracle (exercises every padding/keyframe
+    layout the static segmentation can produce)."""
+    mesh = make_mesh()
+    s = mesh.devices.size
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        m = int(rng.integers(s + 1, 4 * s + 3))
+        gt = _circle_traj(m)
+        keys = jax.random.split(jax.random.PRNGKey(40 + trial), m)
+        noisy_rel = [
+            _rel(gt[k], gt[k + 1]).compose(random_pose(keys[k], 0.02, 0.02))
+            for k in range(m - 1)
+        ]
+        init = [gt[0]]
+        for z in noisy_rel:
+            init.append(init[-1].compose(z))
+        R0, t0 = _stack(init)
+        chain = odometry_chain_edges(noisy_rel)
+        n_cl = int(rng.integers(0, 3))
+        nodes = rng.choice(m, size=2 * n_cl, replace=False) if n_cl else []
+        cls = None
+        dense_edges = chain
+        if n_cl:
+            ci = np.sort(nodes[:n_cl])
+            cj = np.sort(nodes[n_cl:])
+            pairs = [(int(a), int(b)) for a, b in zip(ci, cj) if a != b]
+            if pairs:
+                lcs = [_rel(gt[a], gt[b]) for a, b in pairs]
+                cls = EdgeList(
+                    i=jnp.asarray([p[0] for p in pairs], jnp.int32),
+                    j=jnp.asarray([p[1] for p in pairs], jnp.int32),
+                    R=jnp.stack([l.R for l in lcs]),
+                    t=jnp.stack([l.t for l in lcs]),
+                    weight=jnp.full((len(pairs),), 3.0),
+                )
+                dense_edges = EdgeList(
+                    i=jnp.concatenate([chain.i, cls.i]),
+                    j=jnp.concatenate([chain.j, cls.j]),
+                    R=jnp.concatenate([chain.R, cls.R]),
+                    t=jnp.concatenate([chain.t, cls.t]),
+                    weight=jnp.concatenate([chain.weight, cls.weight]),
+                )
+        dense = refine_pose_graph(R0, t0, dense_edges, n_iters=6, damping=1e-8)
+        shard = refine_chain_sharded(
+            R0, t0, chain.R, chain.t, mesh, n_iters=6, damping=1e-8,
+            closures=cls,
+        )
+        np.testing.assert_allclose(
+            shard.t, dense.t, atol=2e-3,
+            err_msg=f"trial {trial}: m={m} closures={cls and len(pairs)}",
+        )
