@@ -19,9 +19,11 @@ Design (see hgmm.ops.gaussians for the math):
   so the [N, K] responsibility matrix NEVER exists in HBM — the
   flash-attention idiom applied to EM (SURVEY.md §6.7).
 
-- GLOBAL-SHIFT SOFTMAX (the fast path). The kernel is VPU-bound at large K
-  (the MXU work is ~90 bf16 FLOPs/point/component but every K x T
-  elementwise pass costs ~K/1024 VPU cycles/point), so the classic
+- GLOBAL-SHIFT SOFTMAX (the fast path). Every K x T elementwise pass is
+  real VPU time the MXU matmuls must hide (round-4 microbenchmarks,
+  eval/roofline.py: at K=512 the kernel is MXU-bound at its shape rates,
+  with the VPU at ~60% occupancy — keeping VPU work below the MXU time is
+  exactly what makes the overlap possible), and the classic
   max/subtract/exp softmax spends 3 full K x T VPU passes. Instead we fold
   BOTH the -1/2 log2(e) logit scaling AND a global shift G =
   max_j sup_y log pi_j N(y) (gaussians.max_logit) into the packed weights:
@@ -89,6 +91,17 @@ _FAST_VARIANT = int(_os.environ.get("HGMM_FAST_VARIANT", "0"))
 # measured 14% sweep win at K=512 (RESULTS.md §1). "1" restores the MXU
 # ones-row sum for measurement.
 _MXU_SUM = _os.environ.get("HGMM_MXU_SUM", "0") == "1"
+# Intra-kernel splitting of the COMPONENT (sublane) axis: with HGMM_KSPLIT=c
+# the fast-path em_stats body runs the logits matmul, exp2 and stats
+# contraction in c K-chunks, halving (at c=2) the peak liveness of the f32
+# [K, T] logits buffer — the tile sweep (RESULTS.md §1) suggests VMEM
+# buffer liveness, not per-step overhead, is what gates Mosaic's cross-step
+# double-buffering. The softmax normalizer still sums over the FULL K
+# (partial sums added before the scale), so results are identical.
+# Measurement switch, default 1.
+_KSPLIT = int(_os.environ.get("HGMM_KSPLIT", "1"))
+if _KSPLIT < 1:
+    raise ValueError(f"HGMM_KSPLIT must be >= 1, got {_KSPLIT}")
 # Intra-kernel sub-tiling of the point (lane) axis: with HGMM_SUBTILE=c the
 # fast-path em_stats body runs c independent logits->exp2->stats chains per
 # grid step, giving Mosaic explicit ILP to overlap chunk i's K x T/c exp2
@@ -253,8 +266,8 @@ def prepare_phi(
     Points are STATIC across EM sweeps, so callers inside a lax.scan get
     this hoisted out of the loop by XLA LICM — the per-sweep kernel then
     does ZERO feature(re)building/VPU hi-lo splitting for the logits side
-    (measured: the fused sweep is VPU-bound, not MXU-bound, so removing
-    elementwise passes is the first-order win).
+    (keeps per-sweep VPU time well under the MXU time so the units
+    overlap; see eval/roofline.py for the round-4 measured unit balance).
     """
     pts_t = prepare_points(points, point_weights, tile)  # [8, N_pad]
     x, y, z, w = pts_t[0:1], pts_t[1:2], pts_t[2:3], pts_t[3:4]
@@ -526,6 +539,38 @@ def _em_stats_kernel(
             ll = ll + jnp.sum(lse)
         out_s_ref[:] = out_s_ref[:] + s_acc
         out_ll_ref[0, 0] += ll
+        return
+    if (
+        fast and _KSPLIT > 1 and parent_ref is None
+        and wt_ref.shape[0] % _KSPLIT == 0
+    ):
+        # K-split body (see _KSPLIT): per K-chunk logits -> exp2 -> partial
+        # normalizer; scale couples the chunks only through the full-K sum,
+        # so stats per chunk land in their own out_s columns. Identical
+        # math to the single-chunk body.
+        wt = wt_ref[:]
+        phi48 = phi48_ref[:]
+        kh = wt.shape[0] // _KSPLIT
+        es = []
+        sum_e = None
+        for c in range(_KSPLIT):
+            d = jnp.dot(
+                wt[c * kh : (c + 1) * kh], phi48,
+                preferred_element_type=_F32, precision=_LO,
+            )
+            e_c = _exp_fast(d)
+            s_c = jnp.sum(e_c, axis=0, keepdims=True, dtype=_F32)
+            es.append(e_c)
+            sum_e = s_c if sum_e is None else sum_e + s_c
+        scale = w / (sum_e + sm_ref[0, 0] + _SCALE_FLOOR)
+        tot = sum_e * sm_ref[0, 1] + sm_ref[0, 2]
+        lse = jnp.where(tot > 0, (sm_ref[0, 3] + jnp.log(tot)) * w, 0.0)
+        phis = phiw * scale
+        s_tile = jnp.concatenate(
+            [_stats_dot_t(e_c, phis, fast=True) for e_c in es], axis=1
+        )  # [32, K]
+        out_s_ref[:] = out_s_ref[:] + s_tile
+        out_ll_ref[0, 0] += jnp.sum(lse)
         return
     if fast:
         # Precomputed [hi; lo; hi] bf16 features — no per-sweep feature

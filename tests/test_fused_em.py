@@ -290,3 +290,22 @@ def test_backend_override_dispatch():
             ops.em_stats(prep, jnp.zeros((10, 4)), point_weights=jnp.ones(64))
     finally:
         ops.set_backend(prev)
+
+
+def test_ksplit_body_matches_ref():
+    """HGMM_KSPLIT measurement branch (K-chunked logits/exp2/stats with a
+    full-K normalizer): identical math to the single-chunk body."""
+    from hgmm.ops import fused_em
+
+    params = _mixture(jax.random.PRNGKey(31), 64)
+    pts = jax.random.normal(jax.random.PRNGKey(32), (400, 3))
+    W = pack_loglik_weights(params)
+    ref = em_ref.em_stats(pts, W)
+    old = fused_em._KSPLIT
+    fused_em._KSPLIT = 2
+    try:
+        got = fused_em.em_stats(pts, W, tile=256)
+    finally:
+        fused_em._KSPLIT = old
+    np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
