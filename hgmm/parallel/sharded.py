@@ -130,11 +130,17 @@ def sharded_em_fit(
     cov_floor_rel: float = 1e-4,
 ):
     """Distributed twin of hgmm.models.gmm.em_fit: identical math, stats
-    psum'd over the mesh. Returns (params, loglik_history)."""
+    psum'd over the mesh. Returns (params, loglik_history). Points are
+    zero-weight padded to the mesh unconditionally — weighted callers with
+    N not divisible by the device count previously crashed in shard_map."""
     if mesh is None:
         mesh = make_mesh()
-    if point_weights is None:
-        points, point_weights = pad_points_for_mesh(points, mesh)
+    n = points.shape[0]
+    points, pad_w = pad_points_for_mesh(points, mesh)
+    point_weights = (
+        pad_w if point_weights is None
+        else pad_w.at[:n].set(point_weights.astype(pad_w.dtype))
+    )
     total = jnp.sum(point_weights)
     cov_floor = cov_floor_rel * scene_variance(points, point_weights)
     run = _sharded_em_step(mesh, n_iters, cov_type)

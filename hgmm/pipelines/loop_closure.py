@@ -115,17 +115,31 @@ def detect_loop_closures(
     thresholds are comparable with the chain logliks.
     Returns an EdgeList (possibly empty -> None).
     """
-    from hgmm.pipelines.odometry import _register_frames
+    from hgmm.pipelines.odometry import _fit_frame_model, _register_to_model
 
     cfg = config or ClosureConfig()
     if cfg.reg_iters is not None:
         odo_cfg = dataclasses.replace(odo_cfg, reg_iters=cfg.reg_iters)
-    cands = propose_candidates(result.abs_poses, cfg)[: cfg.max_candidates]
+    # max_candidates is a VERIFICATION budget (registrations are the
+    # cost): neighborhood-redundant candidates are skipped for free
+    # before the budget is charged, so a dense cluster around the first
+    # revisit cannot starve a distinct closure further down the list.
+    cands = propose_candidates(result.abs_poses, cfg)
     if not cands:
         return None
     t_all = np.stack([np.asarray(p.t) for p in result.abs_poses])
     steps = np.linalg.norm(np.diff(t_all, axis=0), axis=1)
     med_step = float(np.median(steps)) if steps.size else 1.0
+
+    # Keyframe budget of the sharded Schur solver: closure endpoints are
+    # promoted to keyframes, of which an S-device mesh admits S+1 total
+    # (incl. the chain ends) — past that refine_chain_sharded would fall
+    # back to a dense solve on the full chain, ruinous at KITTI scale.
+    f = len(frames)
+    endpoint_budget = None
+    if mesh is not None:
+        endpoint_budget = int(mesh.devices.size) + 1
+    kf_nodes: set[int] = {0, f - 1}
 
     # Per-point chain loglik reference: pair (k, k+1) registered the
     # weighted source frame k+1.
@@ -136,19 +150,38 @@ def detect_loop_closures(
     ll_ref = float(np.nanmedian(chain_ll)) if chain_ll else np.nan
 
     base_key = jax.random.PRNGKey(getattr(odo_cfg, "seed", 0))
+    # Per-frame model cache: the SAME fold_in(base, idx) key the odometry
+    # loop used for frame idx, so cached closure models match the chain's
+    # (and forward/reverse verification of overlapping candidates reuses
+    # fits — the fit dominates per-candidate cost).
+    models: dict[int, object] = {}
+
+    def model_of(idx: int):
+        if idx not in models:
+            models[idx] = _fit_frame_model(
+                frames[idx], odo_cfg, jax.random.fold_in(base_key, idx), mesh
+            )
+        return models[idx]
+
     accepted: list[tuple[int, int, Pose, float]] = []
     used: set[int] = set()
+    verified = 0
     for i, j in cands:
-        # One closure per neighborhood: endpoints also become keyframes of
-        # the sharded Schur solver, which admits at most S+1 of them.
+        if verified >= cfg.max_candidates:
+            break
+        # One closure per neighborhood (also bounds keyframe count).
         if any(
             abs(i - u) <= cfg.min_separation or abs(j - u) <= cfg.min_separation
             for u in used
         ):
             continue
+        if endpoint_budget is not None and len(
+            kf_nodes | {i, j}
+        ) > endpoint_budget:
+            continue
+        verified += 1
         init = result.abs_poses[i].inverse().compose(result.abs_poses[j])
-        key = jax.random.fold_in(base_key, 100_000 + i * 1000 + j)
-        res = _register_frames(frames[i], frames[j], odo_cfg, key, init, mesh)
+        res = _register_to_model(model_of(i), frames[j], odo_cfg, init, mesh)
         delta = float(res.deltas[-1])
         ll_pp = float(res.logliks[-1]) / max(float(np.sum(frames[j][1])), 1.0)
         ok_conv = bool(res.converged) or delta < cfg.accept_delta
@@ -157,9 +190,8 @@ def detect_loop_closures(
         )
         pose, ok_recip, recip_d = res.pose, True, None
         if ok_conv and ok_ll and cfg.reciprocal_tol is not None:
-            rev = _register_frames(
-                frames[j], frames[i], odo_cfg,
-                jax.random.fold_in(key, 1), init.inverse(), mesh,
+            rev = _register_to_model(
+                model_of(j), frames[i], odo_cfg, init.inverse(), mesh
             )
             ok_recip, pose, recip_d = reciprocal_check(
                 res.pose, rev.pose, cfg.reciprocal_tol * med_step
@@ -186,6 +218,7 @@ def detect_loop_closures(
         w = cfg.weight_scale * float(np.exp(max(rel_q, -3.0)))
         accepted.append((i, j, pose, w))
         used.update((i, j))
+        kf_nodes.update((i, j))
     if not accepted:
         return None
     return EdgeList(

@@ -102,53 +102,48 @@ def _fit_model(points, weights, cfg: OdometryConfig, key):
     return tree
 
 
-def _register_frames(tgt, src, cfg: OdometryConfig, key, init: Pose, mesh):
-    """Fit a model to target frame points and register source frame onto it
-    (one odometry pair; also reused by loop-closure verification)."""
+def _fit_frame_model(tgt, cfg: OdometryConfig, key, mesh):
+    """Fit the per-frame target model (flat MixtureParams or GmmTree),
+    optionally through the sharded programs. Loop-closure verification
+    caches these per frame index — the fit dominates per-candidate cost."""
     tgt_pts, tgt_w = tgt
-    src_pts, src_w = src
-    if mesh is not None:
-        from hgmm.models.gmm import init_params
-        from hgmm.parallel import (
-            sharded_em_fit,
-            sharded_register_points,
-            sharded_register_tree,
-            sharded_tree_fit,
-        )
+    if mesh is None:
+        return _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, key)
+    from hgmm.models.gmm import init_params
+    from hgmm.parallel import sharded_em_fit, sharded_tree_fit
 
-        reg_kw = dict(
-            init_pose=init, n_iters=cfg.reg_iters, method=cfg.method,
-            top_k=cfg.top_k, outlier_logit=cfg.outlier_logit,
-            point_weights=jnp.asarray(src_w),
+    if cfg.model_kind == "flat":
+        pts = jnp.asarray(tgt_pts)
+        w = jnp.asarray(tgt_w)
+        params, _ = sharded_em_fit(
+            pts, init_params(pts, cfg.k, key, point_weights=w),
+            mesh, n_iters=cfg.fit_iters, point_weights=w,
         )
-        if cfg.model_kind == "flat":
-            tgt = jnp.asarray(tgt_pts)
-            tgt_wj = jnp.asarray(tgt_w)
-            params, _ = sharded_em_fit(
-                tgt, init_params(tgt, cfg.k, key, point_weights=tgt_wj),
-                mesh, n_iters=cfg.fit_iters, point_weights=tgt_wj,
-            )
-            return sharded_register_points(
-                jnp.asarray(src_pts), params, mesh, **reg_kw
-            )
-        tree = sharded_tree_fit(
-            jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
-            levels=cfg.levels, em_iters=cfg.fit_iters, key=key,
-            point_weights=jnp.asarray(tgt_w),
-        )
-        return sharded_register_tree(
-            jnp.asarray(src_pts), tree, mesh,
-            complexity_threshold=cfg.complexity_threshold, **reg_kw,
-        )
-    model = _fit_model(jnp.asarray(tgt_pts), jnp.asarray(tgt_w), cfg, key)
+        return params
+    return sharded_tree_fit(
+        jnp.asarray(tgt_pts), mesh, branch=cfg.branch,
+        levels=cfg.levels, em_iters=cfg.fit_iters, key=key,
+        point_weights=jnp.asarray(tgt_w),
+    )
+
+
+def _register_to_model(model, src, cfg: OdometryConfig, init: Pose, mesh):
+    """Register source frame points onto a fitted model."""
+    src_pts, src_w = src
     reg_kw = dict(
-        init_pose=init,
-        n_iters=cfg.reg_iters,
-        method=cfg.method,
-        top_k=cfg.top_k,
-        outlier_logit=cfg.outlier_logit,
+        init_pose=init, n_iters=cfg.reg_iters, method=cfg.method,
+        top_k=cfg.top_k, outlier_logit=cfg.outlier_logit,
         point_weights=jnp.asarray(src_w),
     )
+    if mesh is not None:
+        from hgmm.parallel import sharded_register_points, sharded_register_tree
+
+        if isinstance(model, GmmTree):
+            return sharded_register_tree(
+                jnp.asarray(src_pts), model, mesh,
+                complexity_threshold=cfg.complexity_threshold, **reg_kw,
+            )
+        return sharded_register_points(jnp.asarray(src_pts), model, mesh, **reg_kw)
     if isinstance(model, GmmTree):
         # Coarse-to-fine down the tree: the leaf basin alone is smaller
         # than typical frame motion (see register_tree).
@@ -157,6 +152,15 @@ def _register_frames(tgt, src, cfg: OdometryConfig, key, init: Pose, mesh):
             complexity_threshold=cfg.complexity_threshold, **reg_kw,
         )
     return register_points(jnp.asarray(src_pts), model, **reg_kw)
+
+
+def _register_frames(tgt, src, cfg: OdometryConfig, key, init: Pose, mesh):
+    """Fit a model to target frame points and register source frame onto it
+    (one odometry pair; loop-closure verification uses the split helpers
+    with a model cache)."""
+    return _register_to_model(
+        _fit_frame_model(tgt, cfg, key, mesh), src, cfg, init, mesh
+    )
 
 
 def run_odometry(
@@ -201,8 +205,7 @@ def run_odometry(
     if checkpoint_path is not None:
         state = ckpt.load_odometry(checkpoint_path)
         if state is not None:
-            start, rel_poses, abs_poses = state
-            logliks = [float("nan")] * len(rel_poses)
+            start, rel_poses, abs_poses, logliks = state
 
     base_key = jax.random.PRNGKey(cfg.seed)
     prev_rel = Pose.identity()
@@ -224,10 +227,12 @@ def run_odometry(
             metrics.log_registration(f"pair_{i}_{i + 1}", res)
         prev_rel = rel
         if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
-            ckpt.save_odometry(checkpoint_path, i + 1, rel_poses, abs_poses)
+            ckpt.save_odometry(checkpoint_path, i + 1, rel_poses, abs_poses,
+                               logliks)
 
     if checkpoint_path is not None:
-        ckpt.save_odometry(checkpoint_path, f - 1, rel_poses, abs_poses)
+        ckpt.save_odometry(checkpoint_path, f - 1, rel_poses, abs_poses,
+                           logliks)
     result = OdometryResult(
         abs_poses=abs_poses, rel_poses=rel_poses, logliks=logliks
     )

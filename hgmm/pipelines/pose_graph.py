@@ -99,7 +99,6 @@ def _robust_weight(weight, res, robust_delta):
     return weight * (d2 / (d2 + r2)) ** 2
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "robust_delta"))
 def refine_pose_graph(
     R: jax.Array,  # [M, 3, 3] initial absolute poses
     t: jax.Array,  # [M, 3]
@@ -110,7 +109,33 @@ def refine_pose_graph(
     robust_delta: float | None = None,
 ) -> PoseGraphResult:
     """Dense Gauss-Newton (single device; M up to a few hundred). Node 0 is
-    gauge-fixed by a strong prior. robust_delta: see _robust_weight."""
+    gauge-fixed by a strong prior. robust_delta: see _robust_weight.
+
+    Edge endpoints are validated eagerly when concrete: under jit an
+    out-of-range gather CLAMPS, silently pinning a bad constraint to node
+    M-1 (same contract as refine_chain_sharded's closure validation)."""
+    import numpy as np
+
+    m = int(R.shape[0])
+    if not isinstance(edges.i, jax.core.Tracer):
+        idx = np.concatenate([np.asarray(edges.i), np.asarray(edges.j)])
+        bad = idx[(idx < 0) | (idx >= m)]
+        if bad.size:
+            raise ValueError(
+                f"edge endpoints {sorted(set(bad.tolist()))} out of range "
+                f"for {m} nodes"
+            )
+    return _refine_pose_graph_jit(
+        R, t, edges, n_iters, damping, gauge_weight, robust_delta
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iters", "robust_delta")
+)
+def _refine_pose_graph_jit(
+    R, t, edges, n_iters, damping, gauge_weight, robust_delta
+) -> PoseGraphResult:
     m = R.shape[0]
 
     def gn_step(carry, _):
@@ -286,6 +311,20 @@ def refine_chain_sharded(
 
     seg = _chain_segmentation(m, s, closure_nodes)
     if seg is None:
+        if m > 512:
+            # The dense solver materializes an [M, M, 6, 6] Hessian — at
+            # KITTI scale that is a silent OOM/stall, not a fallback. The
+            # usual cause is more closure endpoints than the S+1 keyframe
+            # budget (detect_loop_closures caps itself when given a mesh).
+            import warnings
+
+            warnings.warn(
+                f"refine_chain_sharded: cannot shard {m}-node chain "
+                f"({len(set(closure_nodes))} closure endpoints vs "
+                f"{s + 1}-keyframe budget); falling back to the DENSE "
+                f"O(M^3) solver — expect high memory/time at this scale",
+                stacklevel=2,
+            )
         edges = EdgeList(
             i=jnp.arange(m - 1, dtype=jnp.int32),
             j=jnp.arange(1, m, dtype=jnp.int32),

@@ -62,7 +62,11 @@ def run_registration_scan(
     stats_fn(R, t) -> (horn [4,4], A [6,6], b [6], loglik []) — the
     registration E-step statistics at the given pose (sharded callers pass a
     shard_map+psum wrapper; single-device callers pass ops.reg_stats).
-    Iterations after convergence record loglik = delta = 0.
+    Iterations after convergence re-emit the LAST live (loglik, delta), so
+    logliks[-1]/deltas[-1] always reflect the converged state — consumers
+    (odometry records, loop-closure acceptance gates) read exactly those
+    slots, and a zero sentinel there once made an early-converged closure
+    candidate report loglik 0 and sail through the quality gate.
 
     Returns ((R, t, done), logliks [n_iters], deltas [n_iters]).
     """
@@ -95,18 +99,19 @@ def run_registration_scan(
         live = _live(solver)
 
         def step(carry, _):
-            R, t, done = carry
+            R, t, done, ll_last, d_last = carry
             R2, t2, delta, ll = jax.lax.cond(
                 done,
-                lambda R, t: (R, t, jnp.zeros((), R.dtype), jnp.zeros((), R.dtype)),
+                lambda R, t: (R, t, d_last, ll_last),
                 live,
                 R, t,
             )
-            return (R2, t2, done | (delta < tol)), (ll, delta)
+            return (R2, t2, done | (delta < tol), ll, delta), (ll, delta)
 
         return step
 
-    carry = (init_R, init_t, jnp.zeros((), bool))
+    z = jnp.zeros((), init_R.dtype)
+    carry = (init_R, init_t, jnp.zeros((), bool), z, z)
     lls, deltas = [], []
     if n_horn:
         carry, (ll_h, d_h) = jax.lax.scan(_step("horn"), carry, None, length=n_horn)
@@ -116,7 +121,7 @@ def run_registration_scan(
         carry, (ll_w, d_w) = jax.lax.scan(_step("wls"), carry, None, length=n_wls)
         lls.append(ll_w)
         deltas.append(d_w)
-    return carry, jnp.concatenate(lls), jnp.concatenate(deltas)
+    return carry[:3], jnp.concatenate(lls), jnp.concatenate(deltas)
 
 
 def model_terms(params: MixtureParams):

@@ -13,7 +13,9 @@ from hgmm.models.se3 import Pose
 from hgmm.ops.gaussians import MixtureParams
 
 
-def save_odometry(path: str | Path, frame_idx: int, rel_poses, abs_poses) -> None:
+def save_odometry(
+    path: str | Path, frame_idx: int, rel_poses, abs_poses, logliks=None
+) -> None:
     np.savez(
         str(path),
         frame_idx=frame_idx,
@@ -21,18 +23,27 @@ def save_odometry(path: str | Path, frame_idx: int, rel_poses, abs_poses) -> Non
         rel_t=np.stack([np.asarray(p.t) for p in rel_poses]) if rel_poses else np.zeros((0, 3)),
         abs_R=np.stack([np.asarray(p.R) for p in abs_poses]),
         abs_t=np.stack([np.asarray(p.t) for p in abs_poses]),
+        # Per-pair final logliks: loop-closure acceptance compares candidate
+        # quality against the chain median, so resumed runs must carry them
+        # (NaN backfill silently disabled the gate — review round 4).
+        logliks=np.asarray(
+            logliks if logliks is not None else [], dtype=np.float64
+        ),
     )
 
 
 def load_odometry(path: str | Path):
-    """Returns (frame_idx, rel_poses, abs_poses) or None if absent."""
+    """Returns (frame_idx, rel_poses, abs_poses, logliks) or None."""
     path = Path(path)
     if not path.exists():
         return None
     z = np.load(str(path))
     rel = [Pose(jnp.asarray(R), jnp.asarray(t)) for R, t in zip(z["rel_R"], z["rel_t"])]
     ab = [Pose(jnp.asarray(R), jnp.asarray(t)) for R, t in zip(z["abs_R"], z["abs_t"])]
-    return int(z["frame_idx"]), rel, ab
+    lls = list(z["logliks"]) if "logliks" in z.files else []
+    if len(lls) < len(rel):  # older checkpoints: pad honestly with NaN
+        lls = lls + [float("nan")] * (len(rel) - len(lls))
+    return int(z["frame_idx"]), rel, ab, lls
 
 
 def save_mixture(path: str | Path, params: MixtureParams) -> None:

@@ -125,3 +125,29 @@ def test_reciprocal_check_gates_and_fuses():
     bad_rev = Z.compose(se3_exp(jnp.array([0.0, 0.0, 0.5, 1.0, 0.0, 0.0]))).inverse()
     ok_bad, _, d_bad = reciprocal_check(fwd, bad_rev, tol=0.2)
     assert not ok_bad and d_bad > 0.2
+
+
+def test_detection_and_refine_through_mesh():
+    """detect_closures with a mesh: candidate verification registers
+    through the sharded program (flat model under config-5), and the
+    detected closures feed the sharded Schur refinement."""
+    frames, gt = _loop_sequence(n_frames=12)
+    cfg = OdometryConfig(
+        model_kind="flat", k=24, fit_iters=8, reg_iters=8, bucket=1024,
+        outlier_logit=-3.0, seed=0,
+    )
+    mesh = make_mesh()
+    res = run_odometry(
+        frames, cfg, mesh=mesh, detect_closures=True,
+        closure_config=ClosureConfig(min_separation=5, reg_iters=25),
+    )
+    assert res.closures is not None, "no closures through the sharded path"
+    refined = refine_odometry(res, n_iters=10, mesh=mesh)
+    dead = float(ate(res.abs_poses, gt))
+    fixed = float(
+        ate(
+            [Pose(refined.R[m], refined.t[m]) for m in range(refined.R.shape[0])],
+            gt,
+        )
+    )
+    assert fixed < dead, (dead, fixed)

@@ -51,7 +51,8 @@ def test_odometry_checkpoint_resume(tmp_path):
     # Simulate crash after frame 2: reload the checkpoint written there.
     from hgmm.utils import checkpoint as ckpt
 
-    ckpt.save_odometry(ck, 2, full.rel_poses[:2], full.abs_poses[:3])
+    ckpt.save_odometry(ck, 2, full.rel_poses[:2], full.abs_poses[:3],
+                       full.logliks[:2])
     resumed = run_odometry(frames, cfg, checkpoint_path=ck)
     assert len(resumed.abs_poses) == len(full.abs_poses)
     np.testing.assert_allclose(

@@ -72,3 +72,20 @@ def test_sharded_tree_fit_runs_and_models_data():
     ll_leaf = float(log_likelihood(tree.levels[1], pts))
     ll_root = float(log_likelihood(tree.levels[0], pts))
     assert ll_leaf > ll_root
+
+
+def test_sharded_em_fit_pads_weighted_nondivisible_n():
+    """Weighted points with N not divisible by the device count must pad
+    (round-4 review item 3: previously crashed in shard_map)."""
+    from hgmm.data.synthetic import make_cloud
+    from hgmm.models.gmm import init_params
+    from hgmm.parallel import make_mesh, sharded_em_fit
+
+    pts = make_cloud(jax.random.PRNGKey(0), 1001, kind="helix")
+    w = jnp.ones((1001,))
+    mesh = make_mesh()
+    params, lls = sharded_em_fit(
+        pts, init_params(pts, 8, jax.random.PRNGKey(1), point_weights=w),
+        mesh, n_iters=3, point_weights=w,
+    )
+    assert bool(jnp.all(jnp.isfinite(params.mu)))

@@ -340,3 +340,19 @@ def test_sharded_schur_property_sweep():
             shard.t, dense.t, atol=2e-3,
             err_msg=f"trial {trial}: m={m} closures={cls and len(pairs)}",
         )
+
+
+def test_dense_refine_rejects_out_of_range_edges():
+    """Concrete out-of-range endpoints raise instead of clamping under jit
+    (round-4 review item 7 — parity with the sharded path's validation)."""
+    import pytest
+
+    m = 5
+    gt = _circle_traj(m)
+    R0, t0 = _stack(gt)
+    bad = EdgeList(
+        i=jnp.array([0], jnp.int32), j=jnp.array([m], jnp.int32),
+        R=jnp.eye(3)[None], t=jnp.zeros((1, 3)), weight=jnp.ones(1),
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        refine_pose_graph(R0, t0, bad, n_iters=2)

@@ -80,3 +80,24 @@ def test_register_with_outliers():
     )
     err = registration_rmse(res.pose, source, gt)
     assert float(err) < 0.05, float(err)
+
+
+def test_converged_scan_reports_last_live_loglik():
+    """Post-convergence iterations re-emit the LAST live (loglik, delta) —
+    a zero sentinel there once let early-converged loop-closure candidates
+    report loglik 0 and pass the quality gate (round-4 review item 1)."""
+    cloud = make_cloud(jax.random.PRNGKey(10), 1500, kind="trefoil")
+    gmm, _ = Gmm.fit(cloud, k=16, n_iters=15, key=jax.random.PRNGKey(11))
+    res = register_points(
+        cloud, gmm.params, n_iters=40, method="horn", tol=1e-5
+    )
+    assert bool(res.converged)
+    deltas = np.asarray(res.deltas)
+    lls = np.asarray(res.logliks)
+    live = np.flatnonzero(deltas >= 1e-5)
+    last_live = (live[-1] + 1) if live.size else 0
+    assert last_live < 39, "did not converge early enough to test the skip"
+    # Every skipped slot repeats the converged values exactly.
+    np.testing.assert_array_equal(lls[last_live:], lls[last_live])
+    np.testing.assert_array_equal(deltas[last_live:], deltas[last_live])
+    assert lls[-1] != 0.0
