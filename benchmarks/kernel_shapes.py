@@ -28,8 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 
 N = 1 << 21
-SWEEPS = 30
 BRANCH = 8
+
+
+def sweeps_for(k: int) -> int:
+    """Sweep-chain length per K, scaled so every row's timed chain is
+    >= 10x the tunnel RTT (round-4 verdict weak item 6: at K=64 a
+    30-sweep chain was ~17 ms against a ~25 ms RTT, so the subtraction
+    noise exceeded the quantity measured and one row read >100%).
+    K=64 ~0.65 ms/sweep x 600 = ~390 ms; K=512 ~2.15 ms x 200 = ~430 ms
+    (first pass used 120 sweeps at K=512 = 294 ms, marginal against a
+    30 ms RTT sample — hence the margin here)."""
+    return max(200, 38400 // k)
 
 
 def build_chain(k, masked):
@@ -53,6 +63,8 @@ def build_chain(k, masked):
     else:
         par = None
 
+    sweeps = sweeps_for(k)
+
     @jax.jit
     def chain(phiw, phi48, wt, sm):
         def body(c, _):
@@ -61,7 +73,7 @@ def build_chain(k, masked):
             )
             return c + jnp.sum(s) + ll, None
 
-        return jax.lax.scan(body, jnp.float32(0.0), None, length=SWEEPS)[0]
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=sweeps)[0]
 
     return chain, (phiw, phi48, wt, sm)
 
@@ -74,6 +86,7 @@ def main():
     rows = []
     for k in (64, 512):
         for masked in (False, True):
+            sweeps = sweeps_for(k)
             chain, args = build_chain(k, masked)
             float(chain(*args))  # compile + warm
             rtt = measure_rtt()
@@ -82,7 +95,13 @@ def main():
                 t0 = time.perf_counter()
                 float(chain(*args))
                 times.append(time.perf_counter() - t0)
-            per_sweep = max(float(np.median(times)) - rtt, 1e-9) / SWEEPS
+            total = float(np.median(times))
+            if total < 10 * rtt:
+                print(
+                    f"  WARNING K={k}: timed chain {total*1e3:.0f} ms < 10x "
+                    f"RTT {rtt*1e3:.0f} ms — lengthen sweeps_for({k})"
+                )
+            per_sweep = max(total - rtt, 1e-9) / sweeps
             pps = N / per_sweep
             att = estep_attainable(k)
             att_mask = estep_attainable(k, extra_vpu_passes=4.0)

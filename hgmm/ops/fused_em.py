@@ -112,6 +112,15 @@ if _KSPLIT < 1:
 _SUBTILE = int(_os.environ.get("HGMM_SUBTILE", "1"))
 if _SUBTILE < 1:
     raise ValueError(f"HGMM_SUBTILE must be >= 1, got {_SUBTILE}")
+if _KSPLIT > 1 and _SUBTILE > 1:
+    # The kernel body takes the SUBTILE branch first, silently ignoring
+    # KSPLIT — a measurement run would report unchanged perf with no hint
+    # the switch was inert (round-4 advisor item 4).
+    raise ValueError(
+        f"HGMM_KSPLIT={_KSPLIT} and HGMM_SUBTILE={_SUBTILE} are mutually "
+        f"exclusive (the sub-tiled kernel body would silently ignore "
+        f"KSPLIT); set at most one"
+    )
 
 # Signature salt: this environment's remote-compile service caches compiled
 # executables keyed by the OUTER jit program's input signature, not its HLO
@@ -617,6 +626,15 @@ def _em_stats_call(
         raise ValueError(
             f"HGMM_SUBTILE={_SUBTILE} does not divide the point tile "
             f"{tile}; stats would silently drop {tile % _SUBTILE} columns"
+        )
+    if fast and _KSPLIT > 1 and parent is None and k_pad % _KSPLIT != 0:
+        # The kernel body falls through to the single-chunk path when K
+        # doesn't divide — raise so a measurement run can't silently report
+        # unchanged perf with the switch inert (round-4 advisor item 4).
+        raise ValueError(
+            f"HGMM_KSPLIT={_KSPLIT} does not divide the padded component "
+            f"count {k_pad}; the K-split kernel body would be silently "
+            f"bypassed"
         )
     grid = (n_pad // tile,)
     in_specs = [

@@ -77,8 +77,14 @@ def _global_coord_bound(points, weights):
 # hit on the real chip by benchmarks/large_n.py). On the Pallas path,
 # collective placement is pinned by the fake-mesh equivalence tests
 # (sharded == single-device results to fp tolerance) instead.
+#
+# Every cached factory takes `pallas` (the ops._pallas_active() value at
+# CALL time) as an explicit cache-key argument: ops.set_backend after a
+# program was cached must re-trace for the other backend, not silently
+# reuse a program traced with stale dispatch + check_vma (round-4 advisor
+# item 3).
 @functools.lru_cache(maxsize=None)
-def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
+def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str, pallas: bool):
     """Compiled sharded EM loop for a given mesh (cached per mesh/config).
 
     The WHOLE loop lives inside one shard_map: each device prepares its
@@ -92,7 +98,7 @@ def _sharded_em_step(mesh: Mesh, n_iters: int, cov_type: str):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=not ops._pallas_active(),
+        check_vma=not pallas,
         in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P()),
     )
@@ -143,12 +149,14 @@ def sharded_em_fit(
     )
     total = jnp.sum(point_weights)
     cov_floor = cov_floor_rel * scene_variance(points, point_weights)
-    run = _sharded_em_step(mesh, n_iters, cov_type)
+    run = _sharded_em_step(mesh, n_iters, cov_type, ops._pallas_active())
     return run(points, point_weights, init, total, cov_reg, cov_floor)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
+def _sharded_tree_level(
+    mesh: Mesh, branch: int, em_iters: int, cov_type: str, pallas: bool
+):
     """One tree level: masked-child EM scan + re-assignment, one shard_map
     (same replicated-M-step structure as _sharded_em_step)."""
 
@@ -156,7 +164,7 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=not ops._pallas_active(),
+        check_vma=not pallas,
         in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P(), P(_AXIS)),
     )
@@ -191,10 +199,10 @@ def _sharded_tree_level(mesh: Mesh, branch: int, em_iters: int, cov_type: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _assign0_fn(mesh):
+def _assign0_fn(mesh, pallas: bool):
     @jax.jit
     @functools.partial(
-        jax.shard_map, mesh=mesh, check_vma=not ops._pallas_active(),
+        jax.shard_map, mesh=mesh, check_vma=not pallas,
         in_specs=(P(_AXIS, None), P(None, None)), out_specs=P(_AXIS),
     )
     def f(pts, W):
@@ -246,9 +254,10 @@ def sharded_tree_fit(
         cov_type=cov_type, point_weights=weights,
         cov_floor_rel=cov_floor_rel,
     )
-    parent = _assign0_fn(mesh)(points, pack_loglik_weights(params0))
+    pallas = ops._pallas_active()
+    parent = _assign0_fn(mesh, pallas)(points, pack_loglik_weights(params0))
     level_params = [params0]
-    run_level = _sharded_tree_level(mesh, branch, em_iters, cov_type)
+    run_level = _sharded_tree_level(mesh, branch, em_iters, cov_type, pallas)
     for _ in range(1, levels):
         children = seed_children(level_params[-1], branch)
         params_l, _, parent = run_level(
@@ -266,14 +275,16 @@ class ShardedRegResult(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_register(mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: int):
+def _sharded_register(
+    mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: int, pallas: bool
+):
     from hgmm.pipelines.register import run_registration_scan
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=not ops._pallas_active(),
+        check_vma=not pallas,
         in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
     )
@@ -364,7 +375,9 @@ def sharded_register_points(
         else pad_w.at[:n].set(point_weights.astype(pad_w.dtype))
     )
     outlier = jnp.float32(-1e30 if outlier_logit is None else outlier_logit)
-    run = _sharded_register(mesh, n_iters, method, top_k, wls_inner)
+    run = _sharded_register(
+        mesh, n_iters, method, top_k, wls_inner, ops._pallas_active()
+    )
     R, t, done, lls, deltas = run(
         source, weights, params, init_pose.R, init_pose.t, jnp.float32(tol),
         outlier,

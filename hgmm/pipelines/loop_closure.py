@@ -131,15 +131,12 @@ def detect_loop_closures(
     steps = np.linalg.norm(np.diff(t_all, axis=0), axis=1)
     med_step = float(np.median(steps)) if steps.size else 1.0
 
-    # Keyframe budget of the sharded Schur solver: closure endpoints are
-    # promoted to keyframes, of which an S-device mesh admits S+1 total
-    # (incl. the chain ends) — past that refine_chain_sharded would fall
-    # back to a dense solve on the full chain, ruinous at KITTI scale.
-    f = len(frames)
-    endpoint_budget = None
-    if mesh is not None:
-        endpoint_budget = int(mesh.devices.size) + 1
-    kf_nodes: set[int] = {0, f - 1}
+    # No keyframe budget: refine_chain_sharded's retained-node Schur
+    # reduction (round 5) admits arbitrarily many closure endpoints —
+    # interior endpoints are simply excluded from their segment's
+    # elimination — so detection never throttles itself to fit the mesh.
+    # The only caps are the verification budget (max_candidates, a COST
+    # cap) and the one-per-neighborhood rule; both are observable below.
 
     # Per-point chain loglik reference: pair (k, k+1) registered the
     # weighted source frame k+1.
@@ -165,19 +162,37 @@ def detect_loop_closures(
 
     accepted: list[tuple[int, int, Pose, float]] = []
     used: set[int] = set()
+    skip_used: set[int] = set()
     verified = 0
+    budget_skipped = 0
     for i, j in cands:
         if verified >= cfg.max_candidates:
-            break
-        # One closure per neighborhood (also bounds keyframe count).
+            # Count the distinct-neighborhood candidates left unverified so
+            # the budget cut is observable (the neighborhood-redundant rest
+            # would have been skipped for free anyway).
+            if not any(
+                abs(i - u) <= cfg.min_separation
+                or abs(j - u) <= cfg.min_separation
+                for u in used | skip_used
+            ):
+                budget_skipped += 1
+                skip_used.update((i, j))
+                if metrics is not None:
+                    metrics.log(
+                        {
+                            "event": "loop_closure_candidate_skipped",
+                            "i": i, "j": j, "reason": "verification_budget",
+                        }
+                    )
+            continue
+        # One closure per neighborhood: a dense cluster of candidate pairs
+        # around one revisit collapses to its best (nearest) pair; the
+        # rest are redundant with the accepted edge, not lost revisits, so
+        # no metrics event is emitted for them.
         if any(
             abs(i - u) <= cfg.min_separation or abs(j - u) <= cfg.min_separation
             for u in used
         ):
-            continue
-        if endpoint_budget is not None and len(
-            kf_nodes | {i, j}
-        ) > endpoint_budget:
             continue
         verified += 1
         init = result.abs_poses[i].inverse().compose(result.abs_poses[j])
@@ -218,7 +233,16 @@ def detect_loop_closures(
         w = cfg.weight_scale * float(np.exp(max(rel_q, -3.0)))
         accepted.append((i, j, pose, w))
         used.update((i, j))
-        kf_nodes.update((i, j))
+    if budget_skipped:
+        import warnings
+
+        warnings.warn(
+            f"detect_loop_closures: verification budget "
+            f"(max_candidates={cfg.max_candidates}) left {budget_skipped} "
+            f"distinct candidate neighborhoods unverified — raise "
+            f"ClosureConfig.max_candidates to cover more revisits",
+            stacklevel=2,
+        )
     if not accepted:
         return None
     return EdgeList(

@@ -278,6 +278,19 @@ def refine_odometry(
             mesh, n_iters=n_iters, closures=loop_closures,
             robust_delta=robust_delta,
         )
+    if R.shape[0] > 512:
+        # Same guard as refine_chain_sharded's fallback (round-4 advisor
+        # item 2): the dense solver builds an [M, M, 6, 6] Hessian per GN
+        # step — a 2000-frame KITTI chain is ~2.3 GB of Hessian. The
+        # sharded solver handles any chain length and closure count.
+        import warnings
+
+        warnings.warn(
+            f"refine_odometry: dense pose-graph solve on {R.shape[0]} "
+            f"nodes builds an [M, M, 6, 6] Hessian — pass mesh= to use "
+            f"the distributed Schur solver at this scale",
+            stacklevel=2,
+        )
     edges = odometry_chain_edges(result.rel_poses)
     if loop_closures is not None:
         edges = concat_edge_lists(edges, loop_closures)

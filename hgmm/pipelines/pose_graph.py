@@ -177,66 +177,117 @@ def _refine_pose_graph_jit(
 # ---------------------------------------------------------------------------
 
 def _chain_segmentation(m: int, s: int, closure_nodes):
-    """Host-side static segmentation of an M-node chain over S devices.
+    """Host-side static segmentation of an M-node chain over S devices,
+    with a generalized RETAINED-NODE set (round-5: the S+1-keyframe closure
+    budget is gone — closure endpoints interior to a segment stay interior
+    and are simply excluded from that segment's Schur elimination, joining
+    the global reduced system alongside the segment boundaries).
 
-    Returns None when the chain cannot be sharded (too short, or closure
-    endpoints would need more than S+1 keyframes), else a dict of numpy
-    index arrays:
-      bounds [S+1]      global node ids of the keyframes (ascending; every
-                        closure endpoint is a keyframe)
+    Returns None only when the chain is too short to shard (m-1 < s), else
+    a dict of numpy index arrays:
+      bounds [S+1]      global node ids of the segment boundaries (even
+                        split of the chain; NOT closure-driven)
       node_idx [S, L+1] slot -> global node id per segment (unused slots
-                        alias the left keyframe so pose gathers stay valid)
+                        alias the left boundary so pose gathers stay valid)
       pi, pj [S, L]     local slot endpoints of each edge slot
       eidx [S, L]       global chain-edge id of each edge slot (0 for pads)
       emask [S, L]      True where the edge slot carries a real chain edge
-      int_scatter [S, L-1] global node id of interior slot 1..L-1, or M
-                        (a dump row) for unused slots
+      perm [S, L+1]     slot permutation: the P retained slots first
+                        (boundaries + closure endpoints + inert pad-slot
+                        dummies), then the L+1-P interior slots to eliminate
+      ret_gidx [S, P]   global reduced-system index of each retained slot
+      gnode [G]         global node id per reduced index (M = dump row for
+                        dummy pad slots, whose rows are damping-only)
+      int_scatter [S*(L+1-P)] global node id of each eliminated interior
+                        slot, or M (dump) for unused alias slots
+      gid_of            dict node id -> reduced index (for closure edges)
+      l_seg, p_ret, n_int, g_tot
     """
     import numpy as np
 
-    required = {0, m - 1} | {int(x) for x in closure_nodes}
-    if m - 1 < s or len(required) > s + 1 or any(
-        x < 0 or x >= m for x in required
-    ):
+    if m - 1 < s:
         return None
-    bounds = sorted(required)
-    while len(bounds) < s + 1:
-        # Split the largest inter-keyframe gap until every device has a
-        # segment. Gaps of 1 edge cannot split; with m-1 >= s and
-        # len(required) <= s+1 distinct nodes always remain.
-        g, d = max((bounds[d + 1] - bounds[d], d) for d in range(len(bounds) - 1))
-        if g < 2:
-            return None
-        bounds.insert(d + 1, bounds[d] + g // 2)
-    bounds = np.asarray(bounds, np.int32)
+    # Integer even split: consecutive bounds differ by >= 1 when m-1 >= s.
+    bounds = np.array([(d * (m - 1)) // s for d in range(s + 1)], np.int64)
+    closure_set = sorted(
+        {int(x) for x in closure_nodes} - set(bounds.tolist())
+    )
+    interior_by_seg: list[list[int]] = [[] for _ in range(s)]
+    for x in closure_set:
+        d = int(np.searchsorted(bounds, x, side="right") - 1)
+        interior_by_seg[d].append(x)
+    rmax = max((len(v) for v in interior_by_seg), default=0)
     seg_len = bounds[1:] - bounds[:-1]  # [S] real edges per segment
-    l_seg = max(2, int(seg_len.max()))
+    # Slot count: the longest segment, plus enough inert alias slots that
+    # (a) every segment can pad its retained set to the common width P
+    # with edge-free dummy slots and (b) at least one interior slot always
+    # remains to eliminate (n_int >= 1 keeps the Schur shapes non-empty).
+    l_seg = max(2, int(seg_len.max()), rmax + 2)
+    p_ret = 2 + rmax
+    n_int = l_seg + 1 - p_ret  # >= 1 by construction
     node_idx = np.zeros((s, l_seg + 1), np.int32)
     pi = np.zeros((s, l_seg), np.int32)
     pj = np.zeros((s, l_seg), np.int32)
     eidx = np.zeros((s, l_seg), np.int32)
     emask = np.zeros((s, l_seg), bool)
-    int_scatter = np.full((s, l_seg - 1), m, np.int32)
+    perm = np.zeros((s, l_seg + 1), np.int32)
+    ret_gidx = np.zeros((s, p_ret), np.int32)
+    int_scatter = np.full((s, n_int), m, np.int32)
+    # Reduced-system indexing: boundaries and closure endpoints first
+    # (shared vocabulary with the closure blocks), then per-device dummies.
+    gnode = sorted(set(bounds.tolist()) | set(closure_set))
+    gid_of = {n: g for g, n in enumerate(gnode)}
     for d in range(s):
         b0, b1 = int(bounds[d]), int(bounds[d + 1])
         ld = b1 - b0
-        # Slots 0..ld-1 walk the real path from the left keyframe; slot
-        # l_seg is the right keyframe; slots ld..l_seg-1 are unused (alias
+        # Slots 0..ld-1 walk the real path from the left boundary; slot
+        # l_seg is the right boundary; slots ld..l_seg-1 are unused (alias
         # b0 so residual evaluation stays finite — their edges get weight
-        # 0, so they contribute nothing: the reduction is EXACT, not a
-        # stiff-penalty approximation).
+        # 0 AND touch no slot, so their rows are damping-only: the
+        # reduction is EXACT, not a stiff-penalty approximation).
         node_idx[d, :ld] = b0 + np.arange(ld)
         node_idx[d, ld:l_seg] = b0
         node_idx[d, l_seg] = b1
         pi[d, :ld] = np.arange(ld)
         pj[d, : ld - 1] = np.arange(1, ld)
-        pj[d, ld - 1] = l_seg  # last real edge couples into the right kf
+        pj[d, ld - 1] = l_seg  # last real edge couples into the right bound
         eidx[d, :ld] = b0 + np.arange(ld)
         emask[d, :ld] = True
-        int_scatter[d, : ld - 1] = b0 + np.arange(1, ld)
+        # Retained slots: both boundaries, this segment's closure
+        # endpoints, then dummies. Dummies prefer edge-free alias pad
+        # slots (damping-only rows -> dump index); if the segment is
+        # full-length, real interior slots fill in — retaining a real
+        # node is always exact (it just skips elimination) and its delta
+        # comes from the global solve like any boundary's.
+        r_slots = [x - b0 for x in interior_by_seg[d]]
+        ret = [0, l_seg] + r_slots
+        gq = [gid_of[b0], gid_of[b1]] + [gid_of[x] for x in interior_by_seg[d]]
+        used = set(ret)
+        for cand in list(range(ld, l_seg)) + list(range(1, ld)):
+            if len(ret) == p_ret:
+                break
+            if cand in used:
+                continue
+            ret.append(cand)
+            used.add(cand)
+            if cand >= ld:  # alias pad slot: inert, dump its delta
+                gq.append(len(gnode))
+                gnode.append(m)
+            else:  # real interior node retained as filler: exact
+                gq.append(len(gnode))
+                gnode.append(b0 + cand)
+        nonret = [x for x in range(l_seg + 1) if x not in used]
+        perm[d] = ret + nonret
+        ret_gidx[d] = gq
+        int_scatter[d] = [
+            (b0 + x if 0 < x < ld else m) for x in nonret
+        ]
     return dict(
-        bounds=bounds, node_idx=node_idx, pi=pi, pj=pj, eidx=eidx,
-        emask=emask, int_scatter=int_scatter, l_seg=l_seg,
+        bounds=bounds.astype(np.int32), node_idx=node_idx, pi=pi, pj=pj,
+        eidx=eidx, emask=emask, perm=perm, ret_gidx=ret_gidx,
+        gnode=np.asarray(gnode, np.int32), int_scatter=int_scatter,
+        gid_of=gid_of, l_seg=l_seg, p_ret=p_ret, n_int=n_int,
+        g_tot=len(gnode),
     )
 
 
@@ -256,30 +307,35 @@ def refine_chain_sharded(
     """Distributed GN for an odometry chain via segment-wise Schur
     complement over collectives (BASELINE.json:5; SURVEY.md §2.2 row 3).
 
-    The chain of M nodes splits into S = n_devices segments whose
-    boundaries are the KEYFRAMES: node 0, node M-1, every loop-closure
-    endpoint, and enough evenly-split fill boundaries to give each device
-    one segment. Segments are padded to a common slot count L with
-    weight-0 edges on aliased slots, so arbitrary chain lengths reduce
+    The chain of M nodes splits EVENLY into S = n_devices segments; the
+    RETAINED set of the Schur reduction is the S+1 segment boundaries plus
+    every loop-closure endpoint (round-5: closure endpoints no longer need
+    to BE boundaries, so there is no S+1 closure budget — a segment simply
+    skips eliminating its closure-endpoint slots and they join the global
+    reduced system). Segments are padded to a common slot count L with
+    edge-free weight-0 alias slots, so arbitrary chain lengths reduce
     EXACTLY (no stiff-penalty approximation). Per GN iteration each device:
       1. builds its local segment normal equations over L+1 slots,
-      2. eliminates the interior slots with a local dense solve (Schur),
-      3. psums its reduced 12x12 keyframe contribution into the global
-         (S+1)-keyframe system — the ONLY cross-device traffic, O(S^2)
-         bytes,
-      4. solves the tiny keyframe system (replicated, with the closure
-         blocks added — closures connect keyframes by construction, so
-         they cost zero extra collective traffic) and back-substitutes its
-         interior locally.
+      2. Schur-eliminates its NON-retained interior slots with a local
+         dense solve (a static slot permutation puts retained slots first),
+      3. psums its reduced (6P)^2 retained-block contribution into the
+         global G-node reduced system (G = S+1 boundaries + closure
+         endpoints + inert pad dummies) — the ONLY cross-device traffic,
+         O((S + C)^2) bytes for C closures,
+      4. solves the tiny reduced system (replicated, with the closure
+         blocks added once after the psum — closures connect retained
+         nodes by construction, zero extra collective traffic) and
+         back-substitutes its eliminated interior locally.
     Matches refine_pose_graph up to damping placement and fp error
-    (tests/test_pose_graph.py asserts this, with and without closures).
+    (tests/test_pose_graph.py asserts this, with and without closures,
+    including C >> S closures).
 
-    Falls back to the dense solver when the chain is too short to shard
-    (M-1 < n_devices) or distinct closure endpoints exceed S+1 keyframes —
-    both regimes are small enough that the dense solve is the right tool.
+    Falls back to the dense solver only when the chain is too short to
+    shard (M-1 < n_devices) — that regime is small enough that the dense
+    solve is the right tool.
 
     closures: endpoints must be CONCRETE (host) values — they determine
-    the static keyframe placement.
+    the static retained-slot placement.
     """
     import numpy as np
 
@@ -313,16 +369,16 @@ def refine_chain_sharded(
     if seg is None:
         if m > 512:
             # The dense solver materializes an [M, M, 6, 6] Hessian — at
-            # KITTI scale that is a silent OOM/stall, not a fallback. The
-            # usual cause is more closure endpoints than the S+1 keyframe
-            # budget (detect_loop_closures caps itself when given a mesh).
+            # KITTI scale that is a silent OOM/stall, not a fallback.
+            # Unreachable for m - 1 >= n_devices (the retained-node
+            # reduction has no closure budget); kept as a guard.
             import warnings
 
             warnings.warn(
-                f"refine_chain_sharded: cannot shard {m}-node chain "
-                f"({len(set(closure_nodes))} closure endpoints vs "
-                f"{s + 1}-keyframe budget); falling back to the DENSE "
-                f"O(M^3) solver — expect high memory/time at this scale",
+                f"refine_chain_sharded: cannot shard {m}-node chain over "
+                f"{s} devices (m - 1 < n_devices); falling back to the "
+                f"DENSE O(M^3) solver — expect high memory/time at this "
+                f"scale",
                 stacklevel=2,
             )
         edges = EdgeList(
@@ -338,13 +394,17 @@ def refine_chain_sharded(
         )
 
     l_seg = seg["l_seg"]
-    n_int = l_seg - 1
+    p_ret = seg["p_ret"]
+    n_int = seg["n_int"]
+    g_tot = seg["g_tot"]
     eye6 = jnp.eye(6, dtype=dtype)
     node_idx = jnp.asarray(seg["node_idx"])  # [S, L+1]
     pi_segs = jnp.asarray(seg["pi"])  # [S, L]
     pj_segs = jnp.asarray(seg["pj"])
-    bounds = jnp.asarray(seg["bounds"])  # [S+1]
-    int_scatter = jnp.asarray(seg["int_scatter"]).reshape(-1)  # [S*(L-1)]
+    perm_segs = jnp.asarray(seg["perm"])  # [S, L+1]
+    retg_segs = jnp.asarray(seg["ret_gidx"])  # [S, P]
+    gnode = jnp.asarray(seg["gnode"])  # [G] node id (m = dump)
+    int_scatter = jnp.asarray(seg["int_scatter"]).reshape(-1)  # [S*n_int]
     emask = jnp.asarray(seg["emask"])
     eidx = jnp.asarray(seg["eidx"])
     # Per-slot edge measurements/weights; pad slots carry identity Z and
@@ -354,22 +414,21 @@ def refine_chain_sharded(
     )  # [S, L, 3, 3]
     zt_segs = jnp.where(emask[..., None], edge_t[eidx], 0.0)
     w_segs = jnp.where(emask, edge_weight[eidx], 0.0).astype(dtype)
-    kf_slots = jnp.array([0, l_seg], jnp.int32)
 
     if closures is not None:
-        kf_of = {int(n): k for k, n in enumerate(seg["bounds"])}
+        gid_of = seg["gid_of"]
         cl_ki = jnp.asarray(
-            [kf_of[int(x)] for x in np.asarray(closures.i)], jnp.int32
+            [gid_of[int(x)] for x in np.asarray(closures.i)], jnp.int32
         )
         cl_kj = jnp.asarray(
-            [kf_of[int(x)] for x in np.asarray(closures.j)], jnp.int32
+            [gid_of[int(x)] for x in np.asarray(closures.j)], jnp.int32
         )
 
     def closure_blocks(R_all, t_all):
-        """GN blocks of the closure edges on the (S+1)-keyframe system,
+        """GN blocks of the closure edges on the G-node reduced system,
         computed replicated (O(C) tiny work per device)."""
-        HK = jnp.zeros((s + 1, s + 1, 6, 6), dtype)
-        gK = jnp.zeros((s + 1, 6), dtype)
+        HK = jnp.zeros((g_tot, g_tot, 6, 6), dtype)
+        gK = jnp.zeros((g_tot, 6), dtype)
         if closures is None:
             return HK, gK, jnp.zeros((), dtype)
         res, Ji, Jj = _res_and_jacs(
@@ -405,14 +464,15 @@ def refine_chain_sharded(
                 mesh=mesh,
                 # Pure-jnp body (no Pallas) — keep the vma audit on.
                 check_vma=True,
-                in_specs=(P(POINTS_AXIS),) * 7 + (P(), P()),
+                in_specs=(P(POINTS_AXIS),) * 9 + (P(), P()),
                 out_specs=(P(POINTS_AXIS), P(None), P()),
             )
             def seg_step(R_seg_s, t_seg_s, zR_s, zt_s, w_s, pi_s, pj_s,
-                         HK_cl, gK_cl):
+                         perm_s, retg_s, HK_cl, gK_cl):
                 R_seg, t_seg = R_seg_s[0], t_seg_s[0]  # [L+1, ...]
                 zR, zt, w = zR_s[0], zt_s[0], w_s[0]  # [L, ...]
                 pi, pj = pi_s[0], pj_s[0]  # [L]
+                perm, retg = perm_s[0], retg_s[0]  # [L+1], [P]
                 d = jax.lax.axis_index(POINTS_AXIS)
 
                 # --- 1. local normal equations over L+1 slots (scatter by
@@ -432,69 +492,72 @@ def refine_chain_sharded(
                 g = jnp.zeros((l_seg + 1, 6), dtype)
                 g = g.at[pi].add(w[:, None] * jnp.einsum("eai,ea->ei", Ji, res))
                 g = g.at[pj].add(w[:, None] * jnp.einsum("eai,ea->ei", Jj, res))
-                # Gauge prior on global node 0 (device 0's left keyframe)
-                # + Levenberg damping on every slot.
+                # Gauge prior on global node 0 (device 0's left boundary,
+                # slot 0) + Levenberg damping on every slot.
                 A = A.at[0, 0].add(jnp.where(d == 0, gauge_weight, 0.0) * eye6)
                 diag = jnp.arange(l_seg + 1)
                 A = A.at[diag, diag].add(damping * eye6)
 
-                # --- 2. Schur-eliminate interior slots 1..L-1.
+                # --- 2. permute retained slots first, Schur-eliminate the
+                # trailing n_int non-retained interior slots.
+                Ap = A[perm][:, perm]
+                gp = g[perm]
+                A_KK_d = (
+                    Ap[:p_ret, :p_ret]
+                    .transpose(0, 2, 1, 3)
+                    .reshape(6 * p_ret, 6 * p_ret)
+                )
                 A_II_d = (
-                    A[1:l_seg, 1:l_seg]
+                    Ap[p_ret:, p_ret:]
                     .transpose(0, 2, 1, 3)
                     .reshape(6 * n_int, 6 * n_int)
                 )
                 A_IK_d = (
-                    A[1:l_seg, kf_slots]
+                    Ap[p_ret:, :p_ret]
                     .transpose(0, 2, 1, 3)
-                    .reshape(6 * n_int, 12)
+                    .reshape(6 * n_int, 6 * p_ret)
                 )
-                g_I = g[1:l_seg].reshape(6 * n_int)
+                g_I = gp[p_ret:].reshape(6 * n_int)
                 rhs = jnp.concatenate([A_IK_d, g_I[:, None]], axis=1)
-                sol = jnp.linalg.solve(A_II_d, rhs)  # [6n_int, 13]
-                X = sol[:, :12]  # A_II^-1 A_IK
-                y = sol[:, 12]  # A_II^-1 g_I
+                sol = jnp.linalg.solve(A_II_d, rhs)  # [6n_int, 6P+1]
+                X = sol[:, :-1]  # A_II^-1 A_IK
+                y = sol[:, -1]  # A_II^-1 g_I
+                S_red = A_KK_d - A_IK_d.T @ X  # [6P, 6P]
+                g_red = gp[:p_ret].reshape(-1) - A_IK_d.T @ y
 
-                A_KK_d = (
-                    A[kf_slots][:, kf_slots]
-                    .transpose(0, 2, 1, 3)
-                    .reshape(12, 12)
-                )
-                S_red = A_KK_d - A_IK_d.T @ X  # [12, 12]
-                g_red = jnp.concatenate([g[0], g[l_seg]]) - A_IK_d.T @ y
-
-                # --- 3. psum into the global (S+1)-keyframe system; the
+                # --- 3. psum into the global G-node reduced system; the
                 # replicated closure blocks join AFTER the psum (added once).
-                HK = jnp.zeros((s + 1, s + 1, 6, 6), dtype)
-                blocks = S_red.reshape(2, 6, 2, 6).transpose(0, 2, 1, 3)
-                kidx = jnp.stack([d, d + 1])
-                HK = HK.at[kidx[:, None], kidx[None, :]].add(blocks)
-                gK = jnp.zeros((s + 1, 6), dtype)
-                gK = gK.at[kidx].add(g_red.reshape(2, 6))
+                HK = jnp.zeros((g_tot, g_tot, 6, 6), dtype)
+                blocks = (
+                    S_red.reshape(p_ret, 6, p_ret, 6).transpose(0, 2, 1, 3)
+                )
+                HK = HK.at[retg[:, None], retg[None, :]].add(blocks)
+                gK = jnp.zeros((g_tot, 6), dtype)
+                gK = gK.at[retg].add(g_red.reshape(p_ret, 6))
                 HK = jax.lax.psum(HK, POINTS_AXIS) + HK_cl
                 gK = jax.lax.psum(gK, POINTS_AXIS) + gK_cl
 
-                # --- 4. replicated keyframe solve + local back-substitution.
-                HK_d = HK.transpose(0, 2, 1, 3).reshape(6 * (s + 1), 6 * (s + 1))
-                HK_d = HK_d + damping * jnp.eye(6 * (s + 1), dtype=dtype)
-                delta_K = -jnp.linalg.solve(HK_d, gK.reshape(-1))
-                delta_K = delta_K.reshape(s + 1, 6)
-                dk_local = jnp.concatenate([delta_K[d], delta_K[d + 1]])  # [12]
+                # --- 4. replicated reduced solve + local back-substitution.
+                HK_d = HK.transpose(0, 2, 1, 3).reshape(6 * g_tot, 6 * g_tot)
+                HK_d = HK_d + damping * jnp.eye(6 * g_tot, dtype=dtype)
+                delta_G = -jnp.linalg.solve(HK_d, gK.reshape(-1))
+                delta_G = delta_G.reshape(g_tot, 6)
+                dk_local = delta_G[retg].reshape(-1)  # [6P]
                 delta_I = -(y + X @ dk_local).reshape(n_int, 6)
 
                 cost = jax.lax.psum(jnp.sum(w * jnp.sum(res * res, 1)),
                                     POINTS_AXIS)
-                return delta_I[None], delta_K, cost
+                return delta_I[None], delta_G, cost
 
-            delta_int, delta_K, cost = seg_step(
+            delta_int, delta_G, cost = seg_step(
                 R_segs, t_segs, zR_segs, zt_segs, w_segs, pi_segs, pj_segs,
-                HK_cl, gK_cl,
+                perm_segs, retg_segs, HK_cl, gK_cl,
             )
-            # Stitch: keyframe deltas land at the boundary nodes, interior
-            # deltas scatter to their global nodes (unused slots hit the
-            # dump row m, discarded below).
+            # Stitch: retained deltas land at their global nodes (dummy
+            # pad entries hit the dump row m, discarded below), eliminated
+            # interior deltas scatter to theirs.
             delta = jnp.zeros((m + 1, 6), dtype)
-            delta = delta.at[bounds].set(delta_K)
+            delta = delta.at[gnode].set(delta_G)
             delta = delta.at[int_scatter].set(
                 delta_int.reshape(s * n_int, 6)
             )[:m]

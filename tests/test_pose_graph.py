@@ -342,6 +342,100 @@ def test_sharded_schur_property_sweep():
         )
 
 
+def test_sharded_schur_many_closures_matches_dense():
+    """Round-5 (verdict item 1): C >> S closures — mixed same-segment and
+    cross-segment endpoints — reduce EXACTLY through the retained-node
+    Schur system; no S+1 keyframe budget, no dense fallback."""
+    mesh = make_mesh()
+    s = mesh.devices.size
+    m = 10 * s + 3  # 83 nodes on 8 devices -> ~10-edge segments
+    gt = _circle_traj(m)
+    keys = jax.random.split(jax.random.PRNGKey(11), m)
+    noisy_rel = [
+        _rel(gt[k], gt[k + 1]).compose(random_pose(keys[k], 0.015, 0.015))
+        for k in range(m - 1)
+    ]
+    init = [gt[0]]
+    for z in noisy_rel:
+        init.append(init[-1].compose(z))
+    R0, t0 = _stack(init)
+    chain = odometry_chain_edges(noisy_rel)
+    # 20 closures (2.5x the device count): even pairs span segments, odd
+    # pairs sit inside one segment (j - i < segment length ~10); endpoint
+    # 0 and m-1 land on boundaries, most endpoints are interior.
+    rng = np.random.default_rng(5)
+    pairs = []
+    for c in range(20):
+        if c % 2 == 0:
+            i = int(rng.integers(0, m - 25))
+            j = int(rng.integers(i + 20, m))
+        else:
+            i = int(rng.integers(0, m - 8))
+            j = i + int(rng.integers(2, 7))
+        pairs.append((i, j))
+    pairs = sorted(set(pairs))
+    lcs = [_rel(gt[a], gt[b]) for a, b in pairs]
+    cls = EdgeList(
+        i=jnp.asarray([p[0] for p in pairs], jnp.int32),
+        j=jnp.asarray([p[1] for p in pairs], jnp.int32),
+        R=jnp.stack([l.R for l in lcs]),
+        t=jnp.stack([l.t for l in lcs]),
+        weight=jnp.full((len(pairs),), 4.0),
+    )
+    dense_edges = EdgeList(
+        i=jnp.concatenate([chain.i, cls.i]),
+        j=jnp.concatenate([chain.j, cls.j]),
+        R=jnp.concatenate([chain.R, cls.R]),
+        t=jnp.concatenate([chain.t, cls.t]),
+        weight=jnp.concatenate([chain.weight, cls.weight]),
+    )
+    dense = refine_pose_graph(R0, t0, dense_edges, n_iters=8, damping=1e-8)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any dense-fallback warning fails
+        shard = refine_chain_sharded(
+            R0, t0, chain.R, chain.t, mesh, n_iters=8, damping=1e-8,
+            closures=cls,
+        )
+    np.testing.assert_allclose(shard.t, dense.t, atol=2e-3)
+    np.testing.assert_allclose(shard.R, dense.R, atol=2e-3)
+    np.testing.assert_allclose(
+        shard.residual_history, dense.residual_history, rtol=1e-3, atol=1e-5
+    )
+
+
+def test_segmentation_admits_kitti_scale_closure_counts():
+    """The static segmentation never falls back to dense for m-1 >= S,
+    regardless of closure count (a 2000-frame chain with 60 revisit
+    endpoints was the round-4 failure mode), and its index arrays satisfy
+    the retained-node invariants."""
+    from hgmm.pipelines.pose_graph import _chain_segmentation
+
+    rng = np.random.default_rng(7)
+    m, s = 2000, 8
+    closure_nodes = rng.choice(m, size=60, replace=False).tolist()
+    seg = _chain_segmentation(m, s, closure_nodes)
+    assert seg is not None, "dense fallback at KITTI scale"
+    # Every closure endpoint has a reduced-system index.
+    for x in closure_nodes:
+        assert int(x) in seg["gid_of"]
+    # perm rows are permutations of 0..L; retained slots are the prefix.
+    l1 = seg["l_seg"] + 1
+    for d in range(s):
+        assert sorted(seg["perm"][d].tolist()) == list(range(l1))
+    # gnode: real entries unique; dummies are the dump id m.
+    real = [n for n in seg["gnode"].tolist() if n < m]
+    assert len(real) == len(set(real))
+    # Reduced system stays tiny: boundaries + closures + pad dummies.
+    assert seg["g_tot"] <= (s + 1) + 60 + s * seg["p_ret"]
+
+    # Tiny meshes (the round-4 advisor's 1-2 device case) also shard with
+    # arbitrary closures now.
+    seg1 = _chain_segmentation(40, 2, [3, 17, 22, 31, 9, 36])
+    assert seg1 is not None and seg1["g_tot"] >= 3 + 6
+
+
 def test_dense_refine_rejects_out_of_range_edges():
     """Concrete out-of-range endpoints raise instead of clamping under jit
     (round-4 review item 7 — parity with the sharded path's validation)."""

