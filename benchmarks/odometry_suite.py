@@ -12,12 +12,13 @@ default) — measured on the chip as frames/sec with a per-phase breakdown:
   e2e       one run_odometry(detect_closures=True) + refine_odometry call
             (the headline frames/sec a user gets)
 
-Timing is wall-clock through utils.timing.sync. On the axon tunnel each
-jitted call embeds a ~10-30 ms dispatch RTT; the harness measures the RTT
-and reports it per phase alongside the number of dispatched calls, so the
-device-time share is explicit (per-frame device work at these shapes is
-the same order as one RTT, so raw wall is the honest user-facing number
-and the rtt columns bound the tunnel's contribution).
+Timing is wall-clock through utils.timing.sync. Dispatches are ASYNC on
+the axon tunnel — the host streams calls without waiting — so a phase
+pays the ~10-30 ms tunnel RTT roughly once (at its closing sync) plus
+any host-side value reads inside the loop (the closure phase reads
+convergence/loglik scalars per candidate, each a sync). The harness
+reports the measured RTT and the dispatched-call count per phase so the
+reader can bound both effects; wall is the honest user-facing number.
 
 Usage: python benchmarks/odometry_suite.py [--frames 64] [--bucket 16384]
        [--model tree] [--sharded] [--cpu] [--skip-e2e]
@@ -129,8 +130,8 @@ def main() -> None:
                     "wall_s": round(wall, 3),
                     "items": n_items,
                     "per_item_ms": round(1e3 * wall / max(n_items, 1), 2),
-                    "calls": n_calls,
-                    "rtt_bound_s": round(n_calls * rtt, 3),
+                    "dispatched_calls": n_calls,
+                    "rtt_per_sync_ms": round(rtt * 1e3, 1),
                     **extra,
                 }
             )

@@ -154,61 +154,72 @@ def sharded_em_fit(
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_tree_level(
-    mesh: Mesh, branch: int, em_iters: int, cov_type: str, pallas: bool
+def _sharded_tree_fit_program(
+    mesh: Mesh, branch: int, levels: int, em_iters: int, cov_type: str,
+    pallas: bool,
 ):
-    """One tree level: masked-child EM scan + re-assignment, one shard_map
-    (same replicated-M-step structure as _sharded_em_step)."""
+    """The WHOLE level-synchronous tree build as ONE shard_map jit:
+    prepare the point shard once, run the level-0 flat EM scan, then per
+    level seed children -> masked EM scan -> re-assign parents — all
+    without leaving the program. The previous structure dispatched
+    2*levels separate shard_map programs per fit, each re-building the
+    prepared feature buffers and paying a host dispatch; the round-5
+    odometry suite measured those dispatches dominating per-frame sharded
+    fit cost (322 ms/frame vs 48 unsharded at bucket 16384 over the
+    tunnel)."""
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         check_vma=not pallas,
-        in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(_AXIS)),
+        in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P()),
+        out_specs=P(),
     )
-    def run(points, weights, parent, children: MixtureParams, total, cov_reg,
-            cov_floor):
+    def run(points, weights, init0: MixtureParams, total, cov_reg, cov_floor):
         prep = ops.prepare(
             points, weights,
             coord_bound=_global_coord_bound(points, weights),
         )
 
-        def step(params, _):
-            W = pack_loglik_weights(params)
-            st = ops.em_stats_masked(
-                prep, W, parent, branch, shift=max_logit_params(params)
-            )
-            S = jax.lax.psum(st.S, _AXIS)
-            ll = jax.lax.psum(st.loglik, _AXIS)
-            T0, T1, T2 = ops.unpack_suffstats(S)
-            new = mstep_update(
-                T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
-                cov_floor=cov_floor,
-            )
-            return new, ll
+        def em_scan(init, parent):
+            def step(params, _):
+                W = pack_loglik_weights(params)
+                shift = max_logit_params(params)
+                if parent is None:
+                    st = ops.em_stats(prep, W, shift=shift)
+                else:
+                    st = ops.em_stats_masked(
+                        prep, W, parent, branch, shift=shift
+                    )
+                S = jax.lax.psum(st.S, _AXIS)
+                ll = jax.lax.psum(st.loglik, _AXIS)
+                T0, T1, T2 = ops.unpack_suffstats(S)
+                new = mstep_update(
+                    T0, T1, T2, total, cov_reg=cov_reg, cov_type=cov_type,
+                    cov_floor=cov_floor,
+                )
+                return new, ll
 
-        params, lls = jax.lax.scan(step, children, None, length=em_iters)
-        # ops.assign returns the shard size [n_local] on every backend
-        # (Prepared.n), keeping the global parent array layout.
-        new_parent = ops.assign(prep, pack_loglik_weights(params), parent, branch)
-        return params, lls, new_parent
+            params, _ = jax.lax.scan(step, init, None, length=em_iters)
+            return params
+
+        level_params = [em_scan(init0, None)]
+        if levels > 1:
+            # ops.assign returns the shard size [n_local] on every backend
+            # (Prepared.n), keeping the per-shard parent layout.
+            parent = ops.assign(prep, pack_loglik_weights(level_params[0]))
+            for li in range(1, levels):
+                children = seed_children(level_params[-1], branch)
+                params_l = em_scan(children, parent)
+                if li < levels - 1:
+                    parent = ops.assign(
+                        prep, pack_loglik_weights(params_l), parent, branch
+                    )
+                level_params.append(params_l)
+        return tuple(level_params)
 
     return run
-
-
-@functools.lru_cache(maxsize=None)
-def _assign0_fn(mesh, pallas: bool):
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh, check_vma=not pallas,
-        in_specs=(P(_AXIS, None), P(None, None)), out_specs=P(_AXIS),
-    )
-    def f(pts, W):
-        return ops.assign(pts, W)
-
-    return f
 
 
 def sharded_tree_fit(
@@ -226,7 +237,8 @@ def sharded_tree_fit(
     """Distributed level-synchronous GMM-tree build (config 5 + config 2).
 
     Level 0 fits with sharded flat EM; deeper levels run the masked child
-    EM with per-point parents sharded alongside the points. Returns a
+    EM with per-point parents sharded alongside the points — the whole
+    build is ONE compiled program (_sharded_tree_fit_program). Returns a
     GmmTree-compatible tuple of per-level MixtureParams.
 
     point_weights: optional per-point weights (callers that bucketize with
@@ -248,22 +260,10 @@ def sharded_tree_fit(
         weights = pad_w.at[:n].set(point_weights.astype(pad_w.dtype))
     total = jnp.sum(weights)
     cov_floor = cov_floor_rel * scene_variance(points, weights)
-
-    params0, _ = sharded_em_fit(
-        points, init0, mesh, n_iters=em_iters, cov_reg=cov_reg,
-        cov_type=cov_type, point_weights=weights,
-        cov_floor_rel=cov_floor_rel,
+    run = _sharded_tree_fit_program(
+        mesh, branch, levels, em_iters, cov_type, ops._pallas_active()
     )
-    pallas = ops._pallas_active()
-    parent = _assign0_fn(mesh, pallas)(points, pack_loglik_weights(params0))
-    level_params = [params0]
-    run_level = _sharded_tree_level(mesh, branch, em_iters, cov_type, pallas)
-    for _ in range(1, levels):
-        children = seed_children(level_params[-1], branch)
-        params_l, _, parent = run_level(
-            points, weights, parent, children, total, cov_reg, cov_floor
-        )
-        level_params.append(params_l)
+    level_params = run(points, weights, init0, total, cov_reg, cov_floor)
     return GmmTree(levels=tuple(level_params), branch=branch)
 
 
@@ -317,34 +317,100 @@ def _sharded_register(
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_register_tree_program(
+    mesh: Mesh, n_iters: int, method: str, top_k, wls_inner: int,
+    ks: tuple, pallas: bool,
+):
+    """Coarse-to-fine registration down `len(ks)` tree levels as ONE
+    shard_map jit (prepare the source shard once; each level runs the full
+    registration scan with that level's replicated model and psum'd pose
+    statistics). Previously one program dispatch per level — 3 per pair on
+    the odometry path (round-5 dispatch-overhead finding, see
+    _sharded_tree_fit_program)."""
+    from hgmm.pipelines.register import run_registration_scan
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=not pallas,
+        in_specs=(P(_AXIS), P(_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def run(source, weights, levels_params, R0, t0, tol, outlier):
+        prep = ops.prepare(
+            source, weights,
+            coord_bound=_global_coord_bound(source, weights),
+        )
+        R, t = R0, t0
+        done = None
+        lls, deltas = [], []
+        for params in levels_params:
+            W = pack_loglik_weights(params)
+            A_, b_, _ = precision_terms(params)
+            A6, b3 = sym_pack(A_), b_
+            mu = params.mu
+            shift = max_logit_params(params)
+
+            def stats_fn(R, t, W=W, mu=mu, A6=A6, b3=b3, shift=shift):
+                st = ops.reg_stats(
+                    prep, W, mu, A6, b3, (R, t), None, top_k, outlier,
+                    shift=shift,
+                )
+                st = _psum_tree(st)
+                return st.horn, st.A, st.b, st.loglik
+
+            (R, t, done), ll, dd = run_registration_scan(
+                stats_fn, R, t, n_iters, method, tol, wls_inner
+            )
+            lls.append(ll)
+            deltas.append(dd)
+        return R, t, done, jnp.concatenate(lls), jnp.concatenate(deltas)
+
+    return run
+
+
 def sharded_register_tree(
     source,
     tree,
     mesh: Mesh | None = None,
     init_pose: Pose | None = None,
     complexity_threshold: float = 0.0,
-    **register_kw,
+    n_iters: int = 50,
+    method: str = "horn+wls",
+    tol: float = 1e-7,
+    top_k: int | None = None,
+    outlier_logit: float | None = None,
+    wls_inner: int = 2,
+    point_weights=None,
 ) -> "ShardedRegResult":
     """Distributed twin of pipelines.register.register_tree: coarse-to-fine
-    registration down the tree levels, each level a sharded scan with psum'd
-    pose statistics (see register_tree for why leaves-only fails)."""
+    registration down the tree levels in one compiled program, psum'd pose
+    statistics the only cross-device traffic (see register_tree for why
+    leaves-only fails)."""
     if mesh is None:
         mesh = make_mesh()
-    pose = Pose.identity() if init_pose is None else init_pose
-    lls, deltas, res = [], [], None
+    pose = Pose.identity(source.dtype) if init_pose is None else init_pose
     levels = list(tree.levels)
-    for li, params in enumerate(levels):
-        if li == len(levels) - 1 and complexity_threshold > 0.0:
-            params = tree.cut_mixture(complexity_threshold)
-        res = sharded_register_points(
-            source, params, mesh, init_pose=pose, **register_kw
-        )
-        pose = res.pose
-        lls.append(res.logliks)
-        deltas.append(res.deltas)
-    return ShardedRegResult(
-        pose, jnp.concatenate(lls), jnp.concatenate(deltas), res.converged
+    if complexity_threshold > 0.0:
+        levels[-1] = tree.cut_mixture(complexity_threshold)
+    n = source.shape[0]
+    source, pad_w = pad_points_for_mesh(source, mesh)
+    weights = (
+        pad_w if point_weights is None
+        else pad_w.at[:n].set(point_weights.astype(pad_w.dtype))
     )
+    outlier = jnp.float32(-1e30 if outlier_logit is None else outlier_logit)
+    run = _sharded_register_tree_program(
+        mesh, n_iters, method, top_k, wls_inner,
+        tuple(int(p.pi.shape[0]) for p in levels), ops._pallas_active(),
+    )
+    R, t, done, lls, deltas = run(
+        source, weights, tuple(levels), pose.R, pose.t, jnp.float32(tol),
+        outlier,
+    )
+    return ShardedRegResult(Pose(R, t), lls, deltas, done)
 
 
 def sharded_register_points(

@@ -339,10 +339,6 @@ def refine_chain_sharded(
     """
     import numpy as np
 
-    from jax.sharding import PartitionSpec as P
-
-    from hgmm.parallel.mesh import POINTS_AXIS
-
     s = int(mesh.devices.size)
     m = int(R.shape[0])
     dtype = R.dtype
@@ -393,6 +389,50 @@ def refine_chain_sharded(
             gauge_weight=gauge_weight, robust_delta=robust_delta,
         )
 
+    cl_key = None
+    if closures is not None:
+        cl_key = (
+            tuple(int(x) for x in np.asarray(closures.i)),
+            tuple(int(x) for x in np.asarray(closures.j)),
+        )
+        cl_args = (closures.R, closures.t, closures.weight)
+    else:
+        cl_args = (
+            jnp.zeros((0, 3, 3), dtype),
+            jnp.zeros((0, 3), dtype),
+            jnp.zeros((0,), dtype),
+        )
+    run = _sharded_chain_program(
+        mesh, m, n_iters, float(damping), float(gauge_weight),
+        None if robust_delta is None else float(robust_delta),
+        jnp.dtype(dtype).name, cl_key,
+    )
+    R_out, t_out, costs = run(R, t, edge_R, edge_t, edge_weight, *cl_args)
+    return PoseGraphResult(R_out, t_out, costs)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_chain_program(
+    mesh, m, n_iters, damping, gauge_weight, robust_delta, dtype_name, cl_key
+):
+    """Compiled sharded chain-GN program, cached per (mesh, chain length,
+    closure ENDPOINTS, solver scalars) — refine_chain_sharded previously
+    rebuilt and re-jitted the program every call, recompiling an identical
+    graph each time (measured 18 s/call over the axon remote-compile
+    tunnel on a 64-node chain). Edge/closure MEASUREMENTS are traced
+    arguments, so repeated refinement of the same-shaped graph (the
+    production odometry loop, IRLS re-runs, the benchmark suite) reuses
+    the executable."""
+    import numpy as np
+
+    from jax.sharding import PartitionSpec as P
+
+    from hgmm.parallel.mesh import POINTS_AXIS
+
+    s = int(mesh.devices.size)
+    dtype = jnp.dtype(dtype_name)
+    closure_nodes = () if cl_key is None else (cl_key[0] + cl_key[1])
+    seg = _chain_segmentation(m, s, closure_nodes)
     l_seg = seg["l_seg"]
     p_ret = seg["p_ret"]
     n_int = seg["n_int"]
@@ -407,36 +447,25 @@ def refine_chain_sharded(
     int_scatter = jnp.asarray(seg["int_scatter"]).reshape(-1)  # [S*n_int]
     emask = jnp.asarray(seg["emask"])
     eidx = jnp.asarray(seg["eidx"])
-    # Per-slot edge measurements/weights; pad slots carry identity Z and
-    # weight 0 (inert).
-    zR_segs = jnp.where(
-        emask[..., None, None], edge_R[eidx], jnp.eye(3, dtype=dtype)
-    )  # [S, L, 3, 3]
-    zt_segs = jnp.where(emask[..., None], edge_t[eidx], 0.0)
-    w_segs = jnp.where(emask, edge_weight[eidx], 0.0).astype(dtype)
 
-    if closures is not None:
+    if cl_key is not None:
         gid_of = seg["gid_of"]
-        cl_ki = jnp.asarray(
-            [gid_of[int(x)] for x in np.asarray(closures.i)], jnp.int32
-        )
-        cl_kj = jnp.asarray(
-            [gid_of[int(x)] for x in np.asarray(closures.j)], jnp.int32
-        )
+        cl_i = np.asarray(cl_key[0], np.int32)
+        cl_j = np.asarray(cl_key[1], np.int32)
+        cl_ki = jnp.asarray([gid_of[int(x)] for x in cl_i], jnp.int32)
+        cl_kj = jnp.asarray([gid_of[int(x)] for x in cl_j], jnp.int32)
 
-    def closure_blocks(R_all, t_all):
+    def closure_blocks(R_all, t_all, cl_R, cl_t, cl_w):
         """GN blocks of the closure edges on the G-node reduced system,
         computed replicated (O(C) tiny work per device)."""
         HK = jnp.zeros((g_tot, g_tot, 6, 6), dtype)
         gK = jnp.zeros((g_tot, 6), dtype)
-        if closures is None:
+        if cl_key is None:
             return HK, gK, jnp.zeros((), dtype)
         res, Ji, Jj = _res_and_jacs(
-            R_all[closures.i], t_all[closures.i],
-            R_all[closures.j], t_all[closures.j],
-            closures.R, closures.t,
+            R_all[cl_i], t_all[cl_i], R_all[cl_j], t_all[cl_j], cl_R, cl_t
         )
-        w_r = _robust_weight(closures.weight, res, robust_delta)
+        w_r = _robust_weight(cl_w, res, robust_delta)
         w = w_r[:, None, None]
         HK = HK.at[cl_ki, cl_ki].add(w * jnp.einsum("eai,eaj->eij", Ji, Ji))
         HK = HK.at[cl_kj, cl_kj].add(w * jnp.einsum("eai,eaj->eij", Jj, Jj))
@@ -452,12 +481,21 @@ def refine_chain_sharded(
         return HK, gK, cost
 
     @jax.jit
-    def run(R, t):
+    def run(R, t, edge_R, edge_t, edge_weight, cl_R, cl_t, cl_w):
+        # Per-slot edge measurements/weights; pad slots carry identity Z
+        # and weight 0 (inert).
+        zR_segs = jnp.where(
+            emask[..., None, None], edge_R[eidx], jnp.eye(3, dtype=dtype)
+        )  # [S, L, 3, 3]
+        zt_segs = jnp.where(emask[..., None], edge_t[eidx], 0.0)
+        w_segs = jnp.where(emask, edge_weight[eidx], 0.0).astype(dtype)
         def gn_step(carry, _):
             R_all, t_all = carry
             R_segs = R_all[node_idx]  # [S, L+1, 3, 3]
             t_segs = t_all[node_idx]
-            HK_cl, gK_cl, cost_cl = closure_blocks(R_all, t_all)
+            HK_cl, gK_cl, cost_cl = closure_blocks(
+                R_all, t_all, cl_R, cl_t, cl_w
+            )
 
             @functools.partial(
                 jax.shard_map,
@@ -569,5 +607,4 @@ def refine_chain_sharded(
         (R_out, t_out), costs = jax.lax.scan(gn_step, (R, t), None, length=n_iters)
         return R_out, t_out, costs
 
-    R_out, t_out, costs = run(R, t)
-    return PoseGraphResult(R_out, t_out, costs)
+    return run

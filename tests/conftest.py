@@ -24,3 +24,25 @@ if not os.environ.get("HGMM_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_compiled_program_caches():
+    """Release compiled executables between test modules.
+
+    The full suite compiles several hundred programs onto the 8-fake-device
+    CPU client in one process; with the round-5 cached program factories
+    (parallel.sharded, pipelines.pose_graph) keeping their executables
+    alive, this environment's XLA CPU client segfaults deterministically
+    inside a later backend_compile (observed 3x at test_register after
+    ~110 tests; 125 GB RAM free, so a client resource limit, not OOM).
+    Clearing JAX's global compilation caches per module caps the number of
+    live executables; cross-module shape reuse is minimal, so the recompile
+    cost is noise."""
+    yield
+    jax.clear_caches()
+    gc.collect()
