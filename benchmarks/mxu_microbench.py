@@ -153,8 +153,25 @@ def main():
     ap.add_argument("--steps", type=int, default=1024)
     ap.add_argument("--r1", type=int, default=2)
     ap.add_argument("--r2", type=int, default=6)
+    ap.add_argument(
+        "--k", type=int, default=None,
+        help="component count of the measured shapes (round-5: K=64 rates "
+        "for the small-K roofline after the slim-stream kernel made that "
+        "regime MXU-bound)",
+    )
+    ap.add_argument(
+        "--t", type=int, default=None,
+        help="tile width (small-K shapes need T=8192+ so the per-rep work "
+        "dominates the rep-differencing noise; K=512 keeps 2048 to fit "
+        "the anti-DCE f32 output under scoped VMEM)",
+    )
     args = ap.parse_args()
-    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    global K, T
+    if args.k is not None:
+        K = args.k
+    if args.t is not None:
+        T = args.t
+    print(f"backend={jax.default_backend()} devices={jax.devices()} K={K} T={T}")
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)

@@ -22,7 +22,18 @@ Per point, per EM sweep with K components (PHI = 16 features):
     exp2(d) + e->bf16 cast pair : 0.725 ps/element
     normalizer widening sum     : 0.586 ps/element (one f32-add pass)
     plain pass (cmp/select/cast): 0.098 ps/element (mask passes etc.)
-  HBM stream: 64 B/pt (phiw f32) + 160 B/pt (phi80 bf16) = 224 B/pt.
+  HBM stream: 64 B/pt — the distinct bf16 [32, T] hi/lo rows only
+  (round-5 HGMM_SLIM_PHI=2: the f32 [16, T] side reconstructs in-kernel
+  as hi + lo, and the [80, T] logits operand — whose blocks are copies of
+  hi/lo — is replicated in VMEM; fused_em._SLIM). Measured consequence at
+  the formerly-HBM-bound K=64 shapes: 3.23 -> 5.20 Gpts/s (+61%); K=512
+  (MXU-bound) unchanged. CAVEAT at small K: with the stream this thin,
+  K=64 becomes nominally MXU-bound under the LARGE-K shape rates below,
+  but those rates are measured at K=512 tiles and the microbenchmark
+  cannot resolve the [64, 80]-output shape cleanly (rep-differencing
+  noise at microsecond tiles; observed 65-113 TF/s depending on T) — the
+  K=64 "% of attainable" is therefore against an optimistic denominator
+  and understates the kernel (RESULTS.md §1c note).
 
   NORMALIZER PLACEMENT: the column sum over e can ride the MXU (an
   [8,K]@[K,T] ones-row matmul at a measured ~63 TFLOP/s -> 2*K*8/63e12
@@ -87,7 +98,7 @@ class EstepRoofline:
 
 def estep_attainable(
     k: int,
-    bytes_per_point: float = 224.0,
+    bytes_per_point: float = 64.0,
     hbm_bytes: float = V5E_HBM_BYTES,
     extra_vpu_passes: float = 0.0,
 ) -> EstepRoofline:

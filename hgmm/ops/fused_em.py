@@ -121,6 +121,33 @@ if _KSPLIT > 1 and _SUBTILE > 1:
         f"exclusive (the sub-tiled kernel body would silently ignore "
         f"KSPLIT); set at most one"
     )
+# Round-5 HBM-stream slimming: the fast-path fit kernels previously
+# streamed BOTH the f32 [16, T] phiw buffer (64 B/pt: 10 feature rows +
+# weight row) and the bf16 [80, T] split buffer (160 B/pt). But the stats
+# contraction re-splits phiw to bf16 hi/lo in-kernel anyway, and the split
+# buffer's weight-slot rows (10 within each 16-row block) multiply against
+# STRUCTURALLY ZERO packed-mixture columns (pack_loglik_weights is [10, K],
+# padded to 16 with zeros; the shift folds into column 9) — so prepare_phi
+# now splits phiw WITH its weight row (logits unchanged: w x 0 = 0) and
+# with HGMM_SLIM_PHI=1 (default) the kernel reconstructs the f32 side as
+# hi + lo from the split buffer and streams ONLY the 160 B/pt bf16 buffer:
+# a 1.4x bandwidth cut on the HBM-bound shapes (K=64 config-1 flat and
+# tree levels). Accuracy cost: the stats operand carries ~16 mantissa bits
+# instead of 24 (the e operand is bf16 ~8 bits regardless, RNE-unbiased
+# over the T reduction); the weight row reconstructs exactly for the 0/1
+# bucketize weights and to 2^-16 otherwise. "0" restores the dual-stream
+# layout for measurement.
+#
+# Mode "2" (DEFAULT) goes further: the [80, T] layout is
+# [hi; lo; hi; lo; hi] — three COPIES of hi and two of lo — so only the
+# distinct [32, T] (64 B/pt) needs to cross HBM; the kernel replicates it
+# to the 80-row matmul operand in VMEM (whose bandwidth is not the
+# bottleneck). Streams 64 B/pt total, 3.5x below the original 224.
+# Measured on v5e (RESULTS.md §1c): K=64 unmasked 3.23 -> 5.20 Gpts/s
+# (+61%), masked 3.12 -> 4.72; K=512 (MXU-bound) unchanged at 0.97-1.00.
+_SLIM = int(_os.environ.get("HGMM_SLIM_PHI", "2"))
+if _SLIM not in (0, 1, 2):
+    raise ValueError(f"HGMM_SLIM_PHI must be 0, 1 or 2, got {_SLIM}")
 
 # Signature salt: this environment's remote-compile service caches compiled
 # executables keyed by the OUTER jit program's input signature, not its HLO
@@ -290,8 +317,16 @@ def prepare_phi(
     phiw = jnp.concatenate([phi, w, zeros5], axis=0)  # [16, N_pad]
     if precision != "fast":
         return phiw, None
-    phi16 = jnp.concatenate([phi, jnp.zeros_like(w), zeros5], axis=0)
-    hi, lo = _split_hi_lo(phi16)
+    # The weight row rides INSIDE the split (slot 10 of each 16-row block):
+    # it multiplies structurally-zero packed-mixture columns in the logits
+    # matmul (identical logits), and it lets the slim-stream kernel
+    # (HGMM_SLIM_PHI) reconstruct the full [16, T] f32 operand — features
+    # AND weights — as hi + lo without streaming phiw at all.
+    hi, lo = _split_hi_lo(phiw)
+    if _SLIM == 2:
+        # Distinct rows only; the kernel replicates to the 80-row operand
+        # in VMEM (see _SLIM mode 2).
+        return phiw, jnp.concatenate([hi, lo], axis=0)  # [32, N_pad] bf16
     # [hi; lo; hi; lo; hi]: the rhs of the 80-deep logits contraction whose
     # block products against [Whi|Whi|Wmid|Wmid|Wlo] cover every hi/mid/lo
     # cross term except lo*lo (~2^-24 relative) — see prepare_mixture.
@@ -519,7 +554,7 @@ def _softmax_strict(logits, w_row, out2):
 
 def _em_stats_kernel(
     phiw_ref, wt_ref, sm_ref, out_s_ref, out_ll_ref, *, branch,
-    phi48_ref=None, parent_ref=None,
+    phi48_ref=None, parent_ref=None, slim=False,
 ):
     step = pl.program_id(0)
 
@@ -529,12 +564,25 @@ def _em_stats_kernel(
         out_ll_ref[0, 0] = 0.0
 
     fast = wt_ref.dtype == _BF16
-    phiw = phiw_ref[:]  # [16, T] f32: rows 0:10 features, row 10 weight
+    p48 = phi48_ref[:] if phi48_ref is not None else None
+    if p48 is not None and p48.shape[0] == 32:
+        # _SLIM mode 2: only the distinct [hi; lo] rows crossed HBM;
+        # replicate to the [hi; lo; hi; lo; hi] 80-row matmul operand in
+        # VMEM (matches prepare_mixture's [Whi|Whi|Wmid|Wmid|Wlo] blocks).
+        hi_b, lo_b = p48[0:16], p48[16:32]
+        p48 = jnp.concatenate([hi_b, lo_b, hi_b, lo_b, hi_b], axis=0)
+    if slim:
+        # Slim stream (see _SLIM): the f32 [16, T] side — features AND the
+        # weight row — reconstructs as hi + lo of the split buffer's first
+        # two blocks; phiw is not an input at all.
+        phiw = p48[0:16].astype(_F32) + p48[16:32].astype(_F32)
+    else:
+        phiw = phiw_ref[:]  # [16, T] f32: rows 0:10 features, row 10 weight
     w = phiw[10:11]
     if fast and _SUBTILE > 1 and parent_ref is None:
         # Sub-tiled body (see _SUBTILE): c independent chains per grid step.
         wt = wt_ref[:]
-        phi48 = phi48_ref[:]
+        phi48 = p48
         ch = phiw.shape[1] // _SUBTILE
         s_acc = jnp.zeros_like(out_s_ref)
         ll = jnp.zeros((), _F32)
@@ -558,7 +606,7 @@ def _em_stats_kernel(
         # so stats per chunk land in their own out_s columns. Identical
         # math to the single-chunk body.
         wt = wt_ref[:]
-        phi48 = phi48_ref[:]
+        phi48 = p48
         kh = wt.shape[0] // _KSPLIT
         es = []
         sum_e = None
@@ -586,7 +634,7 @@ def _em_stats_kernel(
         # build or hi/lo split on the VPU; output is already the shifted
         # base-2 logit d (every scaling folded into wt).
         d = jnp.dot(
-            wt_ref[:], phi48_ref[:], preferred_element_type=_F32, precision=_LO
+            wt_ref[:], p48, preferred_element_type=_F32, precision=_LO
         )
     else:
         d = jnp.dot(
@@ -636,15 +684,25 @@ def _em_stats_call(
             f"count {k_pad}; the K-split kernel body would be silently "
             f"bypassed"
         )
+    # Slim stream (see _SLIM): the fast single-chain body reconstructs the
+    # f32 side from the split buffer, so phiw is dropped from the pallas
+    # inputs entirely — 160 B/pt streamed instead of 224. The SUBTILE/
+    # KSPLIT measurement bodies still read phiw directly.
+    slim = fast and _SLIM > 0 and _SUBTILE == 1 and _KSPLIT == 1
     grid = (n_pad // tile,)
     in_specs = [
-        pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((k_pad, w_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         # Full (salted) row: SMEM blocks must cover the whole array.
         pl.BlockSpec(sm.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
-    args = [phiw, wt, sm]
-    kw = {"branch": branch}
+    args = [wt, sm]
+    if not slim:
+        in_specs.insert(
+            0,
+            pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
+        args.insert(0, phiw)
+    kw = {"branch": branch, "slim": slim}
     names = []
     if fast:
         in_specs.append(
@@ -661,9 +719,12 @@ def _em_stats_call(
         args.append(parent)
         names.append("parent_ref")
 
-    def kernel(phiw_ref, wt_ref, sm_ref, *rest):
-        extra = dict(zip(names, rest[: len(names)]))
-        out_s, out_ll = rest[len(names) :]
+    def kernel(*refs):
+        i = 0 if slim else 1
+        phiw_ref = None if slim else refs[0]
+        wt_ref, sm_ref = refs[i], refs[i + 1]
+        extra = dict(zip(names, refs[i + 2 : i + 2 + len(names)]))
+        out_s, out_ll = refs[i + 2 + len(names) :]
         _em_stats_kernel(phiw_ref, wt_ref, sm_ref, out_s, out_ll,
                          **kw, **extra)
 
@@ -673,7 +734,12 @@ def _em_stats_call(
     flops_tile = 2 * k_pad * w_lanes * tile + 2 * s_rows * k_pad * tile
     if fast and _MXU_SUM:
         flops_tile += 2 * 8 * k_pad * tile
-    bytes_pt = (64 + 2 * phi48.shape[0]) if fast else 64  # phiw f32 (+ split-phi bf16)
+    if slim:
+        bytes_pt = 2 * phi48.shape[0]  # split-phi bf16 only
+    elif fast:
+        bytes_pt = 64 + 2 * phi48.shape[0]  # phiw f32 + split-phi bf16
+    else:
+        bytes_pt = 64
     s_out, ll_out = pl.pallas_call(
         kernel,
         grid=grid,
