@@ -29,7 +29,11 @@ import numpy as np
 
 N = 1 << 21
 K = 512
-SWEEPS = 50
+# 150 sweeps x ~2.1 ms = ~320 ms timed chain, >=12x the ~25 ms tunnel RTT
+# (50 sweeps was ~4x — the RTT subtraction left +-3% run-to-run noise on
+# the driver-recorded number; same fix as benchmarks/kernel_shapes.py
+# sweeps_for).
+SWEEPS = 150
 
 
 def log(*a):

@@ -309,3 +309,50 @@ def test_ksplit_body_matches_ref():
         fused_em._KSPLIT = old
     np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)
     np.testing.assert_allclose(got.loglik, ref.loglik, rtol=1e-3)
+
+
+def test_slim_phi_modes_match_oracle():
+    """The HGMM_SLIM_PHI measurement switch selects import-time kernel/
+    layout variants (0 = dual stream, 1 = reconstruct-f32, 2 = shipped
+    distinct-rows stream); CI otherwise only ever runs the default, so a
+    rotted fallback layout would surface mid-measurement on the chip.
+    Each mode runs in a subprocess (the flag is read at import) against
+    the dense oracle in interpret mode."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from hgmm.ops import em_ref, fused_em\n"
+        "from hgmm.ops.gaussians import MixtureParams, pack_loglik_weights\n"
+        "k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(0), 5)\n"
+        "mu = jax.random.normal(k1, (24, 3))\n"
+        "a = 0.3 * jax.random.normal(k2, (24, 3, 3))\n"
+        "sigma = jnp.einsum('kij,klj->kil', a, a) + 0.05 * jnp.eye(3)\n"
+        "params = MixtureParams(jax.nn.softmax(jax.random.normal(k3, (24,))), mu, sigma)\n"
+        "pts = jax.random.normal(k4, (300, 3))\n"
+        "W = pack_loglik_weights(params)\n"
+        "ref = em_ref.em_stats(pts, W)\n"
+        "got = fused_em.em_stats(pts, W, tile=256)\n"
+        "np.testing.assert_allclose(got.S, ref.S, rtol=2e-2, atol=5e-3)\n"
+        "par = jax.random.randint(k5, (300,), 0, 3)\n"
+        "refm = em_ref.em_stats_masked(pts, W, par, 8)\n"
+        "gotm = fused_em.em_stats_masked(pts, W, par, 8, tile=256)\n"
+        "np.testing.assert_allclose(gotm.S, refm.S, rtol=2e-2, atol=5e-3)\n"
+        "print('mode ok')\n"
+    )
+    import os
+
+    repo = str(Path(__file__).resolve().parents[1])
+    for mode in ("0", "1", "2"):
+        env = dict(os.environ, HGMM_SLIM_PHI=mode)
+        env.pop("XLA_FLAGS", None)  # single-device CPU is enough
+        r = subprocess.run(
+            [sys.executable, "-c", prog], env=env, cwd=repo,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0 and "mode ok" in r.stdout, (
+            f"HGMM_SLIM_PHI={mode} failed:\n{r.stdout}\n{r.stderr}"
+        )
