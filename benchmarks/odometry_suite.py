@@ -145,10 +145,13 @@ def main() -> None:
     print(f"compile+warmup {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
     # --- phase 1: fits. One model per frame (what closure detection uses;
-    # the odometry loop itself fits f-1 of these). Calls per fit: 1 jit for
-    # flat; levels+1 shard_map jits for the sharded tree; register_tree
-    # re-dispatches per level on the unsharded path too.
+    # the odometry loop itself fits f-1 of these). Dispatched programs per
+    # fit: 1 everywhere (the whole tree build is one jit on both paths —
+    # the sharded one since the round-5 _sharded_tree_fit_program fusion).
+    # Registration: 1 program on the flat and fused-sharded-tree paths,
+    # one per level on the unsharded tree path.
     levels = cfg.levels if args.model == "tree" else 1
+    reg_calls = 1 if (args.sharded or args.model == "flat") else levels
     models = {}
     t0 = time.perf_counter()
     for i in range(f):
@@ -157,7 +160,7 @@ def main() -> None:
         )
     sync(jax.tree_util.tree_leaves(models[f - 1]))
     fit_wall = time.perf_counter() - t0
-    report("fit", fit_wall, f, f * (levels + (1 if levels > 1 else 0)))
+    report("fit", fit_wall, f, f)
 
     # --- phase 2: registrations (warm-started chain, as run_odometry).
     t0 = time.perf_counter()
@@ -171,7 +174,7 @@ def main() -> None:
     sync((prev_rel.R, prev_rel.t))
     reg_wall = time.perf_counter() - t0
     logliks = [float(x) for x in logliks]
-    report("register", reg_wall, f - 1, (f - 1) * levels)
+    report("register", reg_wall, f - 1, (f - 1) * reg_calls)
 
     abs_poses = [Pose.identity()]
     for z in rel_poses:
@@ -192,7 +195,7 @@ def main() -> None:
     # + reciprocal).
     report(
         "closures", wall, max(ccfg.max_candidates, 1),
-        ccfg.max_candidates * 2 * (levels + 1), accepted=n_cl,
+        ccfg.max_candidates * 2 * (1 + reg_calls), accepted=n_cl,
     )
     result.closures = closures
 

@@ -19,7 +19,9 @@ RESULTS.md §1d): gap + fusions ~ 0.001 ms/sweep — the entire deficit vs
 the attainable bound is INTRA-kernel exposed VPU work, not grid/dispatch
 overhead.
 
-Usage: python benchmarks/trace_accounting.py /tmp/trace_r5 [--k 512] [--n 2097152] [--sweeps 50]
+Usage: python benchmarks/trace_accounting.py /tmp/trace_r5 [--k 512] [--n 2097152] [--sweeps N]
+--sweeps MUST match the bench.py SWEEPS the trace was captured with (the
+default tracks bench.py's current value).
 """
 
 import argparse
@@ -58,7 +60,11 @@ def main() -> None:
     ap.add_argument("trace_dir", type=Path)
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--n", type=int, default=1 << 21)
-    ap.add_argument("--sweeps", type=int, default=50)
+    # Default tracks bench.py's SWEEPS (50 -> 150 in round 5): dividing the
+    # fusion/gap totals by the wrong chain length misattributes them 3x.
+    import bench as _bench
+
+    ap.add_argument("--sweeps", type=int, default=_bench.SWEEPS)
     args = ap.parse_args()
 
     ev = load_device_events(args.trace_dir)

@@ -98,15 +98,24 @@ class EstepRoofline:
 
 def estep_attainable(
     k: int,
-    bytes_per_point: float = 64.0,
+    bytes_per_point: float | None = None,
     hbm_bytes: float = V5E_HBM_BYTES,
     extra_vpu_passes: float = 0.0,
 ) -> EstepRoofline:
     """Attainable fused E+M sweep throughput for K components, 1 chip.
 
+    bytes_per_point: HBM stream of the kernel being scored; None (default)
+    resolves it from the ACTIVE HGMM_SLIM_PHI layout mode (64/160/224 B/pt
+    for modes 2/1/0), so measurement runs of the fallback layouts are
+    scored against their own stream, not the shipped default's (round-5
+    review item — a fixed 64 would hand mode 0 an impossible denominator).
     extra_vpu_passes: additional K x T plain elementwise passes beyond the
     softmax's exp2+cast pair (e.g. ~4 for the masked tree-level kernel's
     iota / //branch / == / where mask application)."""
+    if bytes_per_point is None:
+        from hgmm.ops import fused_em as _fe
+
+        bytes_per_point = {0: 224.0, 1: 160.0, 2: 64.0}[_fe._SLIM]
     t_logits = 2.0 * k * 80.0 / MXU_LOGITS_RATE
     t_stats = 2.0 * k * 32.0 / MXU_STATS_RATE
     t_mxu = t_logits + t_stats

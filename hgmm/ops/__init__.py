@@ -49,7 +49,9 @@ class Prepared:
 
     pts_t: object = None  # [8, N_pad] transposed points (pallas)
     phiw: object = None  # [16, N_pad] f32 features+weight (pallas)
-    phi48: object = None  # [80, N_pad] bf16 split features (pallas fast)
+    phi48: object = None  # [32 or 80, N_pad] bf16 split features (pallas
+    # fast; row count depends on the HGMM_SLIM_PHI layout mode — see
+    # fused_em.prepare_phi)
     coord_bound: object = None  # scalar |coord| bound (pallas fast margin)
     points: object = None  # raw [N, 3] (ref)
     point_weights: object = None  # raw [N] or None (ref)

@@ -296,8 +296,12 @@ def prepare_phi(
       phiw  [16, N_pad] f32 — rows 0:10 the monomial features psi(x)
             (gaussians.features order), row 10 the point weight (0 for
             padding), rows 11:16 zero.
-      phi48 [48, N_pad] bf16 — [phi_hi; phi_lo; phi_hi] sublane-stacked,
-            the rhs layout of the fast-path logits matmul. None for strict.
+      phi48 bf16 split buffer (historical name; None for strict):
+            [32, N_pad] = [hi; lo] of phiw under the default
+            HGMM_SLIM_PHI=2 (the kernel replicates to the 80-row
+            [hi;lo;hi;lo;hi] logits operand in VMEM), or
+            [80, N_pad] = [hi; lo; hi; lo; hi] pre-replicated under
+            modes 0/1 — the rhs layout of the fast-path logits matmul.
 
     Points are STATIC across EM sweeps, so callers inside a lax.scan get
     this hoisted out of the loop by XLA LICM — the per-sweep kernel then

@@ -218,11 +218,17 @@ def _chain_segmentation(m: int, s: int, closure_nodes):
         interior_by_seg[d].append(x)
     rmax = max((len(v) for v in interior_by_seg), default=0)
     seg_len = bounds[1:] - bounds[:-1]  # [S] real edges per segment
-    # Slot count: the longest segment, plus enough inert alias slots that
-    # (a) every segment can pad its retained set to the common width P
-    # with edge-free dummy slots and (b) at least one interior slot always
-    # remains to eliminate (n_int >= 1 keeps the Schur shapes non-empty).
-    l_seg = max(2, int(seg_len.max()), rmax + 2)
+    # Slot count: the longest segment PLUS rmax extra inert alias slots, so
+    # (a) every segment — including full-length ones — can pad its
+    # retained set to the common width P with EDGE-FREE dummy slots
+    # (damping-only rows, provably decoupled, all sharing ONE dump index
+    # in the reduced system: g_tot stays |boundaries ∪ closures| + 1
+    # regardless of how closures cluster — without this, clustered
+    # closures forced real interior slots in as fillers with unique
+    # indices, inflating the replicated solve to O((S*C)^2); round-5
+    # review item), and (b) at least one interior slot always remains to
+    # eliminate (n_int >= 1 keeps the Schur shapes non-empty).
+    l_seg = max(2, int(seg_len.max()) + rmax, rmax + 2)
     p_ret = 2 + rmax
     n_int = l_seg + 1 - p_ret  # >= 1 by construction
     node_idx = np.zeros((s, l_seg + 1), np.int32)
@@ -234,9 +240,15 @@ def _chain_segmentation(m: int, s: int, closure_nodes):
     ret_gidx = np.zeros((s, p_ret), np.int32)
     int_scatter = np.full((s, n_int), m, np.int32)
     # Reduced-system indexing: boundaries and closure endpoints first
-    # (shared vocabulary with the closure blocks), then per-device dummies.
+    # (shared vocabulary with the closure blocks), then ONE shared dump
+    # index for every inert pad dummy (their rows are damping-only and
+    # fully decoupled — pad slots carry no edges — so summing them on a
+    # single row is exact and keeps the replicated solve at
+    # |boundaries ∪ closures| + 1 nodes).
     gnode = sorted(set(bounds.tolist()) | set(closure_set))
     gid_of = {n: g for g, n in enumerate(gnode)}
+    dump_gid = len(gnode)
+    gnode = gnode + [m]
     for d in range(s):
         b0, b1 = int(bounds[d]), int(bounds[d + 1])
         ld = b1 - b0
@@ -254,28 +266,20 @@ def _chain_segmentation(m: int, s: int, closure_nodes):
         eidx[d, :ld] = b0 + np.arange(ld)
         emask[d, :ld] = True
         # Retained slots: both boundaries, this segment's closure
-        # endpoints, then dummies. Dummies prefer edge-free alias pad
-        # slots (damping-only rows -> dump index); if the segment is
-        # full-length, real interior slots fill in — retaining a real
-        # node is always exact (it just skips elimination) and its delta
-        # comes from the global solve like any boundary's.
+        # endpoints, then edge-free alias-pad dummies (l_seg grants every
+        # segment at least rmax of them, so dummies are ALWAYS inert pad
+        # slots sharing the single dump index — never real nodes).
         r_slots = [x - b0 for x in interior_by_seg[d]]
         ret = [0, l_seg] + r_slots
         gq = [gid_of[b0], gid_of[b1]] + [gid_of[x] for x in interior_by_seg[d]]
         used = set(ret)
-        for cand in list(range(ld, l_seg)) + list(range(1, ld)):
+        for cand in range(ld, l_seg):
             if len(ret) == p_ret:
                 break
-            if cand in used:
-                continue
             ret.append(cand)
             used.add(cand)
-            if cand >= ld:  # alias pad slot: inert, dump its delta
-                gq.append(len(gnode))
-                gnode.append(m)
-            else:  # real interior node retained as filler: exact
-                gq.append(len(gnode))
-                gnode.append(b0 + cand)
+            gq.append(dump_gid)
+        assert len(ret) == p_ret, (d, ld, l_seg, p_ret)
         nonret = [x for x in range(l_seg + 1) if x not in used]
         perm[d] = ret + nonret
         ret_gidx[d] = gq
@@ -361,8 +365,11 @@ def refine_chain_sharded(
     else:
         closures = None
 
-    seg = _chain_segmentation(m, s, closure_nodes)
-    if seg is None:
+    # _chain_segmentation returns None iff m - 1 < s; test that directly
+    # so the cached program factory is the only place the index arrays are
+    # actually built (round-5 review item: the caller previously built and
+    # discarded the full segmentation on every refine call).
+    if m - 1 < s:
         if m > 512:
             # The dense solver materializes an [M, M, 6, 6] Hessian — at
             # KITTI scale that is a silent OOM/stall, not a fallback.

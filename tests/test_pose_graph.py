@@ -424,11 +424,23 @@ def test_segmentation_admits_kitti_scale_closure_counts():
     l1 = seg["l_seg"] + 1
     for d in range(s):
         assert sorted(seg["perm"][d].tolist()) == list(range(l1))
-    # gnode: real entries unique; dummies are the dump id m.
+    # gnode: real entries unique; ALL dummies share the single dump id m.
     real = [n for n in seg["gnode"].tolist() if n < m]
     assert len(real) == len(set(real))
-    # Reduced system stays tiny: boundaries + closures + pad dummies.
-    assert seg["g_tot"] <= (s + 1) + 60 + s * seg["p_ret"]
+    assert seg["gnode"].tolist().count(m) == 1
+    # Reduced system is exactly boundaries ∪ closures + 1 dump row —
+    # independent of closure clustering (round-5 review: per-dummy unique
+    # indices previously inflated a clustered case to O(S*C) nodes).
+    assert seg["g_tot"] == len(real) + 1
+    assert seg["g_tot"] <= (s + 1) + 60 + 1
+
+    # Worst-case clustering: 60 closure endpoints inside ONE segment must
+    # not inflate the reduced system beyond |retained| + 1.
+    clustered = (10 + np.arange(60) * 2).tolist()  # all within [10, 128]
+    seg_c = _chain_segmentation(2000, 8, clustered)
+    assert seg_c is not None
+    assert seg_c["g_tot"] == len(set(clustered) | set(seg_c["bounds"].tolist())) + 1
+    assert seg_c["g_tot"] <= 9 + 60 + 1
 
     # Tiny meshes (the round-4 advisor's 1-2 device case) also shard with
     # arbitrary closures now.

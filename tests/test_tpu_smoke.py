@@ -134,7 +134,11 @@ def test_smoke_estep_throughput():
     guard (round-3 advisor item 4)."""
     from hgmm.eval.roofline import estep_attainable
 
-    N, K, sweeps = 1 << 21, 512, 20
+    # 120 sweeps x ~2.15 ms = ~260 ms timed chain, >=10x the ~25 ms tunnel
+    # RTT — the guard margin is only ~4 points, and a 20-sweep (~43 ms)
+    # chain left enough subtraction noise to false-fail a healthy kernel
+    # (round-5 review item; same rule as bench.py/kernel_shapes.py).
+    N, K, sweeps = 1 << 21, 512, 120
     k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
     mu = jax.random.normal(k1, (K, 3))
     a = 0.3 * jax.random.normal(k2, (K, 3, 3))
