@@ -19,9 +19,10 @@ RESULTS.md §1d): gap + fusions ~ 0.001 ms/sweep — the entire deficit vs
 the attainable bound is INTRA-kernel exposed VPU work, not grid/dispatch
 overhead.
 
-Usage: python benchmarks/trace_accounting.py /tmp/trace_r5 [--k 512] [--n 2097152] [--sweeps N]
---sweeps MUST match the bench.py SWEEPS the trace was captured with (the
-default tracks bench.py's current value).
+Usage: python benchmarks/trace_accounting.py /tmp/trace_r5 [--k 512] [--n 2097152]
+The sweep count is derived from the trace itself (one kernel event per
+sweep inside the analyzed while-window), so traces captured with any
+bench.py SWEEPS value attribute correctly.
 """
 
 import argparse
@@ -60,11 +61,7 @@ def main() -> None:
     ap.add_argument("trace_dir", type=Path)
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--n", type=int, default=1 << 21)
-    # Default tracks bench.py's SWEEPS (50 -> 150 in round 5): dividing the
-    # fusion/gap totals by the wrong chain length misattributes them 3x.
-    import bench as _bench
 
-    ap.add_argument("--sweeps", type=int, default=_bench.SWEEPS)
     args = ap.parse_args()
 
     ev = load_device_events(args.trace_dir)
@@ -90,9 +87,14 @@ def main() -> None:
         and t0 <= e["ts"] and e["ts"] + e["dur"] <= t1
     ]
     kern = [e for e in kids if e["name"] == kname]
-    per_sweep_kernel = sum(e["dur"] for e in kern) / max(len(kern), 1)
-    fus = sum(e["dur"] for e in kids if e["name"] != kname) / args.sweeps
-    gap = (w["dur"] - sum(e["dur"] for e in kids)) / args.sweeps
+    # One kernel event per sweep in the window: divide the fusion/gap
+    # totals by the OBSERVED count, not an assumed bench.py chain length
+    # (a round-4 trace at SWEEPS=50 analyzed with an assumed 150 would
+    # under-report both 3x).
+    sweeps = max(len(kern), 1)
+    per_sweep_kernel = sum(e["dur"] for e in kern) / sweeps
+    fus = sum(e["dur"] for e in kids if e["name"] != kname) / sweeps
+    gap = (w["dur"] - sum(e["dur"] for e in kids)) / sweeps
 
     from hgmm.eval.roofline import (
         MXU_LOGITS_RATE,

@@ -115,7 +115,15 @@ def estep_attainable(
     if bytes_per_point is None:
         from hgmm.ops import fused_em as _fe
 
-        bytes_per_point = {0: 224.0, 1: 160.0, 2: 64.0}[_fe._SLIM]
+        # Mirror the kernel's slim condition exactly: the SUBTILE/KSPLIT
+        # measurement bodies read phiw directly, so they re-add the
+        # 64 B/pt f32 stream on top of whatever split buffer the layout
+        # mode built (32 rows for mode 2, 80 otherwise).
+        split_rows = 32 if _fe._SLIM == 2 else 80
+        slim_active = (
+            _fe._SLIM > 0 and _fe._SUBTILE == 1 and _fe._KSPLIT == 1
+        )
+        bytes_per_point = (0.0 if slim_active else 64.0) + 2.0 * split_rows
     t_logits = 2.0 * k * 80.0 / MXU_LOGITS_RATE
     t_stats = 2.0 * k * 32.0 / MXU_STATS_RATE
     t_mxu = t_logits + t_stats

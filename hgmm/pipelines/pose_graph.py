@@ -176,6 +176,13 @@ def _refine_pose_graph_jit(
 # Distributed Schur complement for odometry chains
 # ---------------------------------------------------------------------------
 
+def _can_shard_chain(m: int, s: int) -> bool:
+    """Shardability condition, shared by refine_chain_sharded's fallback
+    check and _chain_segmentation's None return so the two cannot drift
+    (round-5 review item)."""
+    return m - 1 >= s
+
+
 def _chain_segmentation(m: int, s: int, closure_nodes):
     """Host-side static segmentation of an M-node chain over S devices,
     with a generalized RETAINED-NODE set (round-5: the S+1-keyframe closure
@@ -205,7 +212,7 @@ def _chain_segmentation(m: int, s: int, closure_nodes):
     """
     import numpy as np
 
-    if m - 1 < s:
+    if not _can_shard_chain(m, s):
         return None
     # Integer even split: consecutive bounds differ by >= 1 when m-1 >= s.
     bounds = np.array([(d * (m - 1)) // s for d in range(s + 1)], np.int64)
@@ -365,11 +372,11 @@ def refine_chain_sharded(
     else:
         closures = None
 
-    # _chain_segmentation returns None iff m - 1 < s; test that directly
-    # so the cached program factory is the only place the index arrays are
-    # actually built (round-5 review item: the caller previously built and
-    # discarded the full segmentation on every refine call).
-    if m - 1 < s:
+    # Same condition as _chain_segmentation's None return (shared helper),
+    # tested directly so the cached program factory is the only place the
+    # index arrays are actually built (round-5 review item: the caller
+    # previously built and discarded the full segmentation per call).
+    if not _can_shard_chain(m, s):
         if m > 512:
             # The dense solver materializes an [M, M, 6, 6] Hessian — at
             # KITTI scale that is a silent OOM/stall, not a fallback.
