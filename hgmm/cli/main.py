@@ -106,6 +106,9 @@ def cmd_odometry(args) -> None:
     if args.max_frames:
         paths = paths[: args.max_frames]
     scans = (load_velodyne_bin(p) for p in paths)
+    if args.map:
+        # Map building re-fuses the raw scans by the final poses.
+        scans = [np.asarray(s) for s in scans]
     cfg = OdometryConfig(
         model_kind=args.model,
         voxel=args.voxel,
@@ -145,6 +148,21 @@ def cmd_odometry(args) -> None:
     out = args.out or "trajectory.npy"
     np.save(out, traj)
     print(f"{len(res.abs_poses)} poses in {dt:.1f}s -> {out}")
+
+    if args.map:
+        # Fuse the scans by the (refined, if --refine) poses into one
+        # global GMM-tree map (pipelines.mapping; the sharded config-5
+        # fit when --sharded). Reload later with utils.checkpoint.load_tree
+        # and localize new scans via pipelines.mapping.localize.
+        from hgmm.pipelines.mapping import MapConfig, build_map
+        from hgmm.utils import checkpoint as ckpt
+
+        tree = build_map(
+            scans, final_poses,
+            MapConfig(voxel=(args.voxel or None)), mesh=mesh,
+        )
+        ckpt.save_tree(args.map, tree)
+        print(f"global map ({tree.n_leaves} leaves) -> {args.map}")
 
     if args.plot:
         from hgmm.viz.export import export_trajectory
@@ -275,6 +293,12 @@ def main(argv=None) -> None:
         "full device mesh (config 5; Schur pose-graph path for --refine)",
     )
     o.add_argument("--out", default=None)
+    o.add_argument(
+        "--map", default=None, metavar="NPZ",
+        help="fuse scans by the final poses into a global GMM-tree map "
+        "and save it (pipelines.mapping; localize new scans against it "
+        "with mapping.localize)",
+    )
     o.add_argument(
         "--plot", default=None, metavar="PNG",
         help="top-down trajectory plot (odometry vs refined vs ground "

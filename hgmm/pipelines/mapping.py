@@ -1,0 +1,164 @@
+"""Global mixture-map building + map-based localization.
+
+The SLAM-frontend capstone over the pairwise engine (BASELINE.json
+north_star: "point-cloud registration and SLAM-frontend engine ...
+extended with multi-frame pose-graph refinement"): after odometry +
+refinement produce globally-consistent poses, the frames are fused into
+ONE hierarchical-GMM map of the scene — the union of pose-transformed
+points fit with the sharded tree build (the config-5 large-N path,
+parallel.sharded_tree_fit: 10M+ fused points shard across the mesh with
+psum'd sufficient statistics). The map is then a drop-in registration
+target: `localize` runs the standard coarse-to-fine registration of a
+new scan against it, giving relocalization / loop-closure-against-map
+without access to the original frames.
+
+TPU-first shape discipline: the fused cloud is voxel-downsampled and
+padded to a bucket (SURVEY.md §8 "pad N to bucket sizes"), so repeated
+map builds at different frame counts reuse one compiled program per
+bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgmm.models.gmm_tree import GmmTree
+from hgmm.models.se3 import Pose
+
+
+@dataclasses.dataclass
+class MapConfig:
+    branch: int = 8
+    levels: int = 3
+    em_iters: int = 12
+    voxel: float | None = None  # fuse-time voxel (meters); None = auto
+    # Point budget of the fused cloud: subsample above, zero-weight pad
+    # below (one compiled fit program per bucket).
+    bucket: int = 1 << 18
+    seed: int = 0
+
+
+def fuse_frames(
+    frames,
+    poses,
+    voxel: float | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Transform each frame's points by its (refined) absolute pose and
+    concatenate into one world-frame cloud.
+
+    frames: sequence of [N_i, 3] arrays (or (points, weights) tuples as
+    built by run_odometry — zero-weight padding rows are dropped).
+    poses: matching absolute Pose per frame (e.g. PoseGraphResult.poses()).
+    voxel: optional voxel-grid downsample of the FUSED cloud — the right
+    place to thin: overlapping frames multiply-sample revisited surfaces,
+    which would otherwise overweight them in the map fit. None picks
+    ~2x the median frame's nearest-neighbor-free heuristic: bbox diagonal
+    / 256 (cheap, scale-free).
+    """
+    from hgmm.data.kitti import voxel_downsample
+
+    if len(frames) != len(poses):
+        raise ValueError(
+            f"{len(frames)} frames vs {len(poses)} poses"
+        )
+    world = []
+    for f, p in zip(frames, poses):
+        if isinstance(f, tuple):
+            pts, w = f
+            pts = np.asarray(pts)[np.asarray(w) > 0]
+        else:
+            pts = np.asarray(f)
+        world.append(np.asarray(p.apply(jnp.asarray(pts, jnp.float32))))
+    fused = np.concatenate(world, axis=0)
+    if voxel is None:
+        bbox = fused.max(axis=0) - fused.min(axis=0)
+        voxel = float(np.linalg.norm(bbox)) / 256.0
+    if voxel > 0:
+        fused = voxel_downsample(fused, voxel)
+    return fused.astype(np.float32)
+
+
+def build_map(
+    frames,
+    poses,
+    config: MapConfig | None = None,
+    mesh=None,
+) -> GmmTree:
+    """Fit the global GMM-tree map to the fused world cloud.
+
+    mesh: optional jax.sharding.Mesh — the fit runs points-sharded through
+    parallel.sharded_tree_fit (the config-5 program; at KITTI scale the
+    fused cloud is the 10M+-point workload of BASELINE.json:11).
+    """
+    cfg = config or MapConfig()
+    fused = fuse_frames(frames, poses, voxel=cfg.voxel, seed=cfg.seed)
+    rng = np.random.default_rng(cfg.seed)
+    n = fused.shape[0]
+    if n >= cfg.bucket:
+        idx = rng.choice(n, size=cfg.bucket, replace=False)
+        pts = jnp.asarray(fused[idx])
+        weights = jnp.ones((cfg.bucket,), jnp.float32)
+    else:
+        pad = np.zeros((cfg.bucket - n, 3), np.float32)
+        pts = jnp.asarray(np.concatenate([fused, pad]))
+        weights = jnp.asarray(
+            np.concatenate(
+                [np.ones(n, np.float32), np.zeros(cfg.bucket - n, np.float32)]
+            )
+        )
+    key = jax.random.PRNGKey(cfg.seed)
+    if mesh is not None:
+        from hgmm.parallel import sharded_tree_fit
+
+        return sharded_tree_fit(
+            pts, mesh, branch=cfg.branch, levels=cfg.levels,
+            em_iters=cfg.em_iters, key=key, point_weights=weights,
+        )
+    tree, _ = GmmTree.fit(
+        pts, branch=cfg.branch, levels=cfg.levels, em_iters=cfg.em_iters,
+        key=key, point_weights=weights,
+    )
+    return tree
+
+
+def localize(
+    scan,
+    map_tree: GmmTree,
+    init_pose: Pose | None = None,
+    mesh=None,
+    n_iters: int = 40,
+    method: str = "wls",
+    outlier_logit: float | None = -8.0,
+    complexity_threshold: float = 0.0,
+):
+    """Register a scan against the prebuilt map (relocalization).
+
+    The map's coarse levels give the wide basin (coarse-to-fine descent,
+    register_tree); the scan only needs pose-proximity to the mapped area,
+    not a matching frame. outlier gating matters more than in odometry:
+    a localization scan typically sees map regions plus NEW geometry.
+    Returns the RegistrationResult whose pose maps scan points into the
+    map (world) frame.
+    """
+    scan = jnp.asarray(scan, jnp.float32)
+    kw = dict(
+        init_pose=init_pose, n_iters=n_iters, method=method,
+        outlier_logit=outlier_logit,
+    )
+    if mesh is not None:
+        from hgmm.parallel import sharded_register_tree
+
+        return sharded_register_tree(
+            scan, map_tree, mesh,
+            complexity_threshold=complexity_threshold, **kw,
+        )
+    from hgmm.pipelines.register import register_tree
+
+    return register_tree(
+        scan, map_tree, complexity_threshold=complexity_threshold, **kw
+    )

@@ -188,12 +188,22 @@ def test_odometry_cli_loop_closure_refine(tmp_path, capsys):
 
     dead_ate, _ = run([])
     plot = tmp_path / "traj.png"
+    map_path = tmp_path / "map.npz"
     fixed_ate, out = run(
-        ["--detect-closures", "--refine", "--plot", str(plot)]
+        ["--detect-closures", "--refine", "--plot", str(plot),
+         "--map", str(map_path)]
     )
     assert "loop closures accepted" in out, out
     assert fixed_ate < 0.85 * dead_ate, (dead_ate, fixed_ate)
     assert plot.exists() and plot.stat().st_size > 0  # viz export wired
+
+    # --map fused the scans by the refined poses into a loadable
+    # GMM-tree map (round-5: pipelines.mapping through the CLI).
+    assert "global map" in out, out
+    from hgmm.utils.checkpoint import load_tree
+
+    tree = load_tree(map_path)
+    assert tree.n_leaves >= 64
 
 
 @pytest.mark.slow

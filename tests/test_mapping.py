@@ -1,0 +1,113 @@
+"""Global map building + map-based localization (pipelines.mapping):
+frames fused by their poses into one GMM-tree map, new scans localized
+against it by coarse-to-fine registration — the SLAM-frontend capstone
+over the pairwise engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hgmm.data.synthetic import make_cloud
+from hgmm.models.se3 import Pose, so3_exp
+from hgmm.parallel import make_mesh
+from hgmm.pipelines.mapping import MapConfig, build_map, fuse_frames, localize
+from test_loop_closure import _loop_sequence
+
+
+def _held_out_view(scene, pose, fov=1.6, noise=0.004, seed=99):
+    pts = np.asarray(pose.inverse().apply(scene))
+    bearing = np.arctan2(pts[:, 1], pts[:, 0])
+    pts = pts[np.abs(bearing) < fov]
+    return (
+        pts
+        + noise
+        * np.asarray(jax.random.normal(jax.random.PRNGKey(seed), pts.shape))
+    ).astype(np.float32)
+
+
+def test_fuse_frames_drops_padding_and_transforms():
+    pts = np.array([[1.0, 0, 0], [0, 1.0, 0], [9.9, 9.9, 9.9]], np.float32)
+    w = np.array([1.0, 1.0, 0.0], np.float32)  # third row is bucket padding
+    pose = Pose(so3_exp(jnp.array([0.0, 0.0, np.pi / 2])), jnp.array([1.0, 0, 0]))
+    fused = fuse_frames([(pts, w)], [pose], voxel=0)
+    assert fused.shape == (2, 3)
+    np.testing.assert_allclose(
+        fused, [[1.0, 1.0, 0.0], [0.0, 0.0, 0.0]], atol=1e-5
+    )
+
+
+def test_build_map_and_localize():
+    """Map fit from posed frames; a NEW view (not in the sequence, its own
+    noise draw) localizes against the map to its ground-truth pose."""
+    frames, gt = _loop_sequence(n_frames=12)
+    scene = make_cloud(jax.random.PRNGKey(0), 4000, kind="trefoil")
+    tree = build_map(
+        frames, gt, MapConfig(levels=2, em_iters=8, bucket=4096, voxel=0)
+    )
+    assert tree.n_leaves == 64
+
+    # Held-out pose between frames 0 and 1 (small motion -> identity init).
+    th = np.pi / 12.0
+    radius = 0.09 * 12 / (2 * np.pi)
+    hp = Pose(
+        so3_exp(jnp.array([0.0, 0.0, 0.3 * np.sin(th)])),
+        jnp.array([radius * np.cos(th) - radius, radius * np.sin(th), 0.0]),
+    )
+    scan = _held_out_view(scene, hp)
+    res = localize(scan, tree, n_iters=25, outlier_logit=-3.0)
+    err_t = float(jnp.linalg.norm(res.pose.t - hp.t))
+    # Geodesic rotation error.
+    tr = float(jnp.trace(res.pose.R.T @ hp.R))
+    err_r = float(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+    assert err_t < 0.02, (err_t, np.asarray(res.pose.t), np.asarray(hp.t))
+    assert err_r < 0.05, err_r
+
+
+def test_build_map_and_localize_through_mesh():
+    """Sharded twin: map fit through sharded_tree_fit (config-5 program)
+    and localization through sharded_register_tree agree with the
+    single-device path's recovered pose."""
+    frames, gt = _loop_sequence(n_frames=12)
+    scene = make_cloud(jax.random.PRNGKey(0), 4000, kind="trefoil")
+    mesh = make_mesh()
+    cfg = MapConfig(levels=2, em_iters=8, bucket=4096, voxel=0)
+    tree_sh = build_map(frames, gt, cfg, mesh=mesh)
+    tree = build_map(frames, gt, cfg)
+    # Same fit through the sharded program (psum of partials, fp-level).
+    np.testing.assert_allclose(
+        np.asarray(tree_sh.levels[-1].mu), np.asarray(tree.levels[-1].mu),
+        atol=1e-3,
+    )
+    th = np.pi / 12.0
+    radius = 0.09 * 12 / (2 * np.pi)
+    hp = Pose(
+        so3_exp(jnp.array([0.0, 0.0, 0.3 * np.sin(th)])),
+        jnp.array([radius * np.cos(th) - radius, radius * np.sin(th), 0.0]),
+    )
+    scan = _held_out_view(scene, hp)
+    res = localize(scan, tree_sh, mesh=mesh, n_iters=25, outlier_logit=-3.0)
+    err_t = float(jnp.linalg.norm(res.pose.t - hp.t))
+    assert err_t < 0.02, err_t
+
+
+def test_map_from_refined_odometry():
+    """End-to-end: odometry poses (no ground truth) -> map -> the map's
+    leaf mixture assigns finite, in-model log-likelihood to a fresh scene
+    sample (the map really covers the scene)."""
+    from hgmm.ops import em_ref
+    from hgmm.ops.gaussians import pack_loglik_weights
+    from hgmm.pipelines.odometry import OdometryConfig, run_odometry
+
+    frames, gt = _loop_sequence(n_frames=10)
+    cfg = OdometryConfig(
+        model_kind="flat", k=24, fit_iters=8, reg_iters=8, bucket=1024,
+        outlier_logit=-3.0,
+    )
+    res = run_odometry(frames, cfg)
+    tree = build_map(
+        frames, res.abs_poses, MapConfig(levels=2, em_iters=6, bucket=4096)
+    )
+    probe = make_cloud(jax.random.PRNGKey(5), 512, kind="trefoil")
+    st = em_ref.em_stats(probe, pack_loglik_weights(tree.leaf_mixture()))
+    ll_pp = float(st.loglik) / probe.shape[0]
+    assert np.isfinite(ll_pp) and ll_pp > -10.0, ll_pp
