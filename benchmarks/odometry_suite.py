@@ -213,6 +213,30 @@ def main() -> None:
     report("refine", refine_wall, 1, 1, ate_dead=round(dead, 4),
            ate_refined=round(fixed, 4))
 
+    # --- phase 5: global map build + one relocalization (round-5
+    # pipelines.mapping — the fused world cloud through the [sharded]
+    # tree fit, then a scan localized against the map).
+    from hgmm.pipelines.mapping import MapConfig, build_map, localize
+
+    mcfg = MapConfig(bucket=1 << 18)
+    t0 = time.perf_counter()
+    map_tree = build_map(frames, refined.poses(), mcfg, mesh=mesh)
+    sync(jax.tree_util.tree_leaves(map_tree.levels[-1]))
+    map_wall = time.perf_counter() - t0
+    report("map_build", map_wall, 1, 1, fused_bucket=mcfg.bucket,
+           leaves=map_tree.n_leaves)
+    t0 = time.perf_counter()
+    loc = localize(
+        jnp.asarray(frames[f // 2][0]), map_tree,
+        init_pose=result.abs_poses[f // 2], mesh=mesh,
+    )
+    sync((loc.pose.R, loc.pose.t))
+    loc_wall = time.perf_counter() - t0
+    loc_err = float(
+        jnp.linalg.norm(loc.pose.t - refined.t[f // 2])
+    )
+    report("localize", loc_wall, 1, 1, err_vs_refined_t=round(loc_err, 4))
+
     phases_wall = fit_wall + reg_wall + wall + refine_wall
     report("phases_total", phases_wall, f, 0,
            frames_per_sec=round(f / phases_wall, 3))

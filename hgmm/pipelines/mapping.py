@@ -66,14 +66,20 @@ def fuse_frames(
         raise ValueError(
             f"{len(frames)} frames vs {len(poses)} poses"
         )
+    # ONE batched device->host pull of all poses, then pure-numpy
+    # transforms: per-frame pose.apply round trips cost ~2 tunnel RTTs
+    # each (measured: 64 frames added ~25 s to a map build over the
+    # remote runtime); the transform itself is a trivial host matmul.
+    Rs = np.asarray(jnp.stack([p.R for p in poses]))
+    ts = np.asarray(jnp.stack([p.t for p in poses]))
     world = []
-    for f, p in zip(frames, poses):
+    for i, f in enumerate(frames):
         if isinstance(f, tuple):
             pts, w = f
             pts = np.asarray(pts)[np.asarray(w) > 0]
         else:
             pts = np.asarray(f)
-        world.append(np.asarray(p.apply(jnp.asarray(pts, jnp.float32))))
+        world.append(pts.astype(np.float32) @ Rs[i].T + ts[i])
     fused = np.concatenate(world, axis=0)
     if voxel is None:
         bbox = fused.max(axis=0) - fused.min(axis=0)
