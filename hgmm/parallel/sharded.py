@@ -233,6 +233,7 @@ def sharded_tree_fit(
     cov_type: str = "full",
     cov_floor_rel: float = 1e-4,
     point_weights=None,
+    init0: MixtureParams | None = None,
 ):
     """Distributed level-synchronous GMM-tree build (config 5 + config 2).
 
@@ -243,15 +244,19 @@ def sharded_tree_fit(
 
     point_weights: optional per-point weights (callers that bucketize with
     zero-weight padding, e.g. odometry, pass them so neither the init
-    seeding nor the fit sees the padding rows)."""
+    seeding nor the fit sees the padding rows).
+    init0: optional level-0 MixtureParams warm start (e.g. an existing
+    map's level 0 for incremental updates, pipelines.mapping.update_map);
+    None seeds from the data."""
     from hgmm.models.gmm_tree import GmmTree
 
     if mesh is None:
         mesh = make_mesh()
     if key is None:
         key = jax.random.PRNGKey(0)
-    # Init before mesh padding: real points (weight-aware) only.
-    init0 = init_params(points, branch, key, point_weights=point_weights)
+    if init0 is None:
+        # Init before mesh padding: real points (weight-aware) only.
+        init0 = init_params(points, branch, key, point_weights=point_weights)
     n = points.shape[0]
     points, pad_w = pad_points_for_mesh(points, mesh)
     if point_weights is None:

@@ -168,3 +168,96 @@ def localize(
     return register_tree(
         scan, map_tree, complexity_threshold=complexity_threshold, **kw
     )
+
+
+def sample_mixture(params, n: int, seed: int = 0) -> np.ndarray:
+    """Draw n points from a MixtureParams (host-side numpy): components by
+    weight, then their Gaussians via Cholesky. Used to SYNTHESIZE a map's
+    evidence when the original frames are gone (update_map)."""
+    pi = np.asarray(params.pi, np.float64)
+    mu = np.asarray(params.mu)
+    sigma = np.asarray(params.sigma)
+    live = pi > 0
+    pi, mu, sigma = pi[live], mu[live], sigma[live]
+    pi = pi / pi.sum()
+    rng = np.random.default_rng(seed)
+    comp = rng.choice(pi.size, size=n, p=pi)
+    chol = np.linalg.cholesky(sigma + 1e-9 * np.eye(3, dtype=sigma.dtype))
+    z = rng.standard_normal((n, 3)).astype(np.float32)
+    return (
+        mu[comp] + np.einsum("nij,nj->ni", chol[comp], z)
+    ).astype(np.float32)
+
+
+def update_map(
+    map_tree: GmmTree,
+    frames,
+    poses,
+    config: MapConfig | None = None,
+    mesh=None,
+    carry_points: int | None = None,
+    old_new_ratio: float = 1.0,
+) -> GmmTree:
+    """Incrementally extend an existing map with newly registered frames —
+    WITHOUT access to the frames the map was built from (multi-session
+    mapping: yesterday's map + today's drive).
+
+    The old map's evidence is carried by synthesis: `carry_points` samples
+    drawn from its leaf mixture (mixture-compression style) join the new
+    frames' fused world points, with per-point weights scaled so the old
+    evidence carries `old_new_ratio` times the new points' total mass.
+    The refit warm-starts level 0 from the old map's level-0 parameters,
+    so stable structure keeps its components while the tree re-seeds
+    deeper levels over the joint evidence.
+    """
+    cfg = config or MapConfig()
+    fused_new = fuse_frames(frames, poses, voxel=cfg.voxel, seed=cfg.seed)
+    n_new = fused_new.shape[0]
+    if carry_points is None:
+        carry_points = min(n_new, cfg.bucket // 2)
+    old_pts = sample_mixture(
+        map_tree.leaf_mixture(), carry_points, seed=cfg.seed + 1
+    )
+    pts = np.concatenate([fused_new, old_pts])
+    # Old evidence mass = old_new_ratio x new mass, regardless of sample
+    # counts.
+    w = np.concatenate(
+        [
+            np.ones(n_new, np.float32),
+            np.full(
+                carry_points,
+                old_new_ratio * n_new / max(carry_points, 1),
+                np.float32,
+            ),
+        ]
+    )
+    rng = np.random.default_rng(cfg.seed)
+    n = pts.shape[0]
+    if n >= cfg.bucket:
+        idx = rng.choice(n, size=cfg.bucket, replace=False)
+        pts, w = pts[idx], w[idx]
+    else:
+        pts = np.concatenate([pts, np.zeros((cfg.bucket - n, 3), np.float32)])
+        w = np.concatenate([w, np.zeros(cfg.bucket - n, np.float32)])
+    pts_j, w_j = jnp.asarray(pts), jnp.asarray(w)
+    init0 = map_tree.levels[0]
+    if int(init0.pi.shape[0]) != cfg.branch:
+        raise ValueError(
+            f"map branch {init0.pi.shape[0]} != MapConfig.branch "
+            f"{cfg.branch}: the warm start must match the tree layout"
+        )
+    if mesh is not None:
+        from hgmm.parallel import sharded_tree_fit
+
+        return sharded_tree_fit(
+            pts_j, mesh, branch=cfg.branch, levels=cfg.levels,
+            em_iters=cfg.em_iters, key=jax.random.PRNGKey(cfg.seed),
+            point_weights=w_j, init0=init0,
+        )
+    from hgmm.models.gmm_tree import _fit_tree
+
+    lvls, _ = _fit_tree(
+        pts_j, init0, cfg.branch, cfg.levels, cfg.em_iters, 1e-6, "full",
+        w_j,
+    )
+    return GmmTree(levels=tuple(lvls), branch=cfg.branch)

@@ -113,3 +113,41 @@ def export_trajectory(
     ax.set_ylabel("y")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def export_map(path, tree, samples_per_leaf: int = 24, seed: int = 0) -> None:
+    """Write a global GMM-tree map (pipelines.mapping.build_map) as a
+    colored PLY any viewer opens: leaf-Gaussian means in red, plus
+    `samples_per_leaf` points drawn from each leaf (weight-proportional
+    alpha folded into brightness) sketching the mapped surfaces in gray.
+    The reference's map rendering analog, offline (SURVEY.md §2.1 item 3).
+    """
+    leaves = tree.leaf_mixture()
+    pi = np.asarray(leaves.pi)
+    mu = np.asarray(leaves.mu)
+    sigma = np.asarray(leaves.sigma)
+    live = pi > 0
+    mu_l, sig_l, pi_l = mu[live], sigma[live], pi[live]
+    rng = np.random.default_rng(seed)
+    # Per-leaf Gaussian samples via Cholesky (eps for near-singular leaves).
+    chol = np.linalg.cholesky(
+        sig_l + 1e-9 * np.eye(3, dtype=sig_l.dtype)
+    )  # [K, 3, 3]
+    z = rng.standard_normal((mu_l.shape[0], samples_per_leaf, 3)).astype(
+        np.float32
+    )
+    samples = (
+        mu_l[:, None, :] + np.einsum("kij,ksj->ksi", chol, z)
+    ).reshape(-1, 3)
+    # Brightness encodes relative leaf weight (log-scaled).
+    w = np.clip(np.log(pi_l / pi_l.max()) / np.log(1e-3), 0.0, 1.0)
+    shade = (200 - 140 * w).astype(np.uint8)  # heavy leaves brighter
+    shades = np.repeat(shade, samples_per_leaf)
+    pts = np.concatenate([mu_l, samples]).astype(np.float32)
+    col = np.concatenate(
+        [
+            np.tile(np.array([[220, 40, 40]], np.uint8), (mu_l.shape[0], 1)),
+            np.stack([shades, shades, shades], axis=1),
+        ]
+    )
+    _save_colored_ply(path, pts, col)

@@ -111,3 +111,73 @@ def test_map_from_refined_odometry():
     st = em_ref.em_stats(probe, pack_loglik_weights(tree.leaf_mixture()))
     ll_pp = float(st.loglik) / probe.shape[0]
     assert np.isfinite(ll_pp) and ll_pp > -10.0, ll_pp
+
+
+def test_update_map_retains_old_region():
+    """Multi-session mapping: a map of scene A, updated with frames that
+    see ONLY a disjoint scene B (session-A frames discarded), must still
+    explain scene A — while a from-scratch fit of the B frames does not
+    (the synthesized carry is what retains the old evidence). Disjoint
+    scenes are required: a loop sequence's halves view the same geometry,
+    so any split of it cannot distinguish carry from coverage."""
+    from hgmm.ops import em_ref
+    from hgmm.ops.gaussians import pack_loglik_weights
+    from hgmm.pipelines.mapping import update_map
+
+    scene_a = np.asarray(make_cloud(jax.random.PRNGKey(0), 3000, kind="trefoil"))
+    scene_b = np.asarray(
+        make_cloud(jax.random.PRNGKey(1), 3000, kind="helix")
+    ) + np.array([5.0, 0.0, 0.0], np.float32)
+    rng = np.random.default_rng(2)
+
+    def session(scene, n_frames, yaw0):
+        frames, poses = [], []
+        for k in range(n_frames):
+            p = Pose(
+                so3_exp(jnp.array([0.0, 0.0, yaw0 + 0.1 * k])),
+                jnp.asarray(scene.mean(axis=0) + [0.1 * k, 0.05 * k, 0.0]),
+            )
+            pts = np.asarray(p.inverse().apply(jnp.asarray(scene)))
+            pts = pts + 0.004 * rng.standard_normal(pts.shape).astype(np.float32)
+            frames.append(pts.astype(np.float32))
+            poses.append(p)
+        return frames, poses
+
+    frames_a, poses_a = session(scene_a, 4, 0.0)
+    frames_b, poses_b = session(scene_b, 4, 0.5)
+    cfg = MapConfig(levels=2, em_iters=8, bucket=4096, voxel=0)
+    map_a = build_map(frames_a, poses_a, cfg)
+    map_ab = update_map(map_a, frames_b, poses_b, cfg)
+    map_b_only = build_map(frames_b, poses_b, cfg)
+
+    probe_a = jnp.asarray(scene_a[:512])
+    probe_b = jnp.asarray(scene_b[:512])
+
+    def ll(tree, probe):
+        st = em_ref.em_stats(probe, pack_loglik_weights(tree.leaf_mixture()))
+        return float(st.loglik) / probe.shape[0]
+
+    ll_a_updated = ll(map_ab, probe_a)
+    ll_a_fresh_b = ll(map_b_only, probe_a)
+    ll_b_updated = ll(map_ab, probe_b)
+    # Updated map covers BOTH scenes; the B-only map fails scene A badly.
+    assert ll_a_updated > ll_a_fresh_b + 10.0, (ll_a_updated, ll_a_fresh_b)
+    assert np.isfinite(ll_b_updated) and ll_b_updated > -10.0
+    # And the update didn't wreck scene-B coverage vs its dedicated fit.
+    assert ll_b_updated > ll(map_b_only, probe_b) - 2.0
+
+
+def test_export_map_writes_ply(tmp_path):
+    from hgmm.data.ply import load_ply
+    from hgmm.viz.export import export_map
+
+    frames, gt = _loop_sequence(n_frames=10)
+    tree = build_map(
+        frames, gt, MapConfig(levels=2, em_iters=6, bucket=2048, voxel=0)
+    )
+    out = tmp_path / "map.ply"
+    export_map(out, tree, samples_per_leaf=8)
+    pts = load_ply(out)
+    n_live = int(np.sum(np.asarray(tree.leaf_mixture().pi) > 0))
+    assert pts.shape == (n_live * 9, 3)  # means + 8 samples per live leaf
+    assert np.all(np.isfinite(pts))
