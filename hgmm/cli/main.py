@@ -106,9 +106,6 @@ def cmd_odometry(args) -> None:
     if args.max_frames:
         paths = paths[: args.max_frames]
     scans = (load_velodyne_bin(p) for p in paths)
-    if args.map:
-        # Map building re-fuses the raw scans by the final poses.
-        scans = [np.asarray(s) for s in scans]
     cfg = OdometryConfig(
         model_kind=args.model,
         voxel=args.voxel,
@@ -157,9 +154,13 @@ def cmd_odometry(args) -> None:
         from hgmm.pipelines.mapping import MapConfig, build_map
         from hgmm.utils import checkpoint as ckpt
 
+        # Re-read the scans for the fuse pass (holding a full KITTI
+        # sequence in RAM through the whole odometry run would be GBs;
+        # round-5 review item). --voxel 0 passes through as 0 (disable),
+        # NOT auto: `args.voxel or None` would coerce an explicit 0.
         tree = build_map(
-            scans, final_poses,
-            MapConfig(voxel=(args.voxel or None)), mesh=mesh,
+            [load_velodyne_bin(p) for p in paths], final_poses,
+            MapConfig(voxel=args.voxel), mesh=mesh,
         )
         ckpt.save_tree(args.map, tree)
         print(f"global map ({tree.n_leaves} leaves) -> {args.map}")

@@ -166,10 +166,15 @@ class GmmTree:
         cov_type: str = "full",
         point_weights: jax.Array | None = None,
         cov_floor_rel: float = 1e-4,
+        init0: MixtureParams | None = None,
     ) -> tuple["GmmTree", jax.Array]:
+        """init0: optional level-0 warm start (e.g. an existing map's
+        level 0 for incremental updates, pipelines.mapping.update_map);
+        None seeds from the data. Mirrors parallel.sharded_tree_fit."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        init0 = init_params(points, branch, key, point_weights=point_weights)
+        if init0 is None:
+            init0 = init_params(points, branch, key, point_weights=point_weights)
         lvls, logliks = _fit_tree(
             points, init0, branch, levels, em_iters, cov_reg, cov_type,
             point_weights, cov_floor_rel,

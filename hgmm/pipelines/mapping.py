@@ -30,6 +30,42 @@ from hgmm.models.gmm_tree import GmmTree
 from hgmm.models.se3 import Pose
 
 
+def _to_bucket(points, bucket, rng, weights=None):
+    """Subsample (above) or zero-weight pad (below) to exactly `bucket`
+    points — the shared static-shape discipline of build_map/update_map
+    (odometry._bucketize is the per-frame sibling). Warns when evidence
+    is dropped: a silent cap would read as "the whole fused cloud was
+    fit" (round-5 review item)."""
+    n = points.shape[0]
+    if weights is None:
+        weights = np.ones(n, np.float32)
+    if n > bucket:
+        import warnings
+
+        warnings.warn(
+            f"map fit bucket {bucket} < fused cloud {n}: subsampling "
+            f"{n - bucket} points away — raise MapConfig.bucket (one "
+            f"compiled program per bucket) or coarsen MapConfig.voxel "
+            f"to keep full evidence",
+            stacklevel=3,
+        )
+        idx = rng.choice(n, size=bucket, replace=False)
+        return jnp.asarray(points[idx]), jnp.asarray(weights[idx])
+    pad = bucket - n
+    return (
+        jnp.asarray(np.concatenate([points, np.zeros((pad, 3), np.float32)])),
+        jnp.asarray(np.concatenate([weights, np.zeros(pad, np.float32)])),
+    )
+
+
+def _chol_samples(mu, sigma, z):
+    """mu[K,3] + chol(sigma[K,3,3]) @ z[..., 3] Gaussian samples (shared
+    by sample_mixture and viz.export_map — one copy of the eps-regularized
+    Cholesky)."""
+    chol = np.linalg.cholesky(sigma + 1e-9 * np.eye(3, dtype=sigma.dtype))
+    return mu + np.einsum("...ij,...j->...i", chol, z)
+
+
 @dataclasses.dataclass
 class MapConfig:
     branch: int = 8
@@ -46,7 +82,6 @@ def fuse_frames(
     frames,
     poses,
     voxel: float | None = None,
-    seed: int = 0,
 ) -> np.ndarray:
     """Transform each frame's points by its (refined) absolute pose and
     concatenate into one world-frame cloud.
@@ -56,9 +91,10 @@ def fuse_frames(
     poses: matching absolute Pose per frame (e.g. PoseGraphResult.poses()).
     voxel: optional voxel-grid downsample of the FUSED cloud — the right
     place to thin: overlapping frames multiply-sample revisited surfaces,
-    which would otherwise overweight them in the map fit. None picks
-    ~2x the median frame's nearest-neighbor-free heuristic: bbox diagonal
-    / 256 (cheap, scale-free).
+    which would otherwise overweight them in the map fit. None picks the
+    fused cloud's bbox diagonal / 256 (cheap, scale-free — note it scales
+    with TOTAL mapped extent, so long trajectories get coarser voxels;
+    pass an explicit metric voxel to pin resolution). 0 disables.
     """
     from hgmm.data.kitti import voxel_downsample
 
@@ -102,21 +138,10 @@ def build_map(
     fused cloud is the 10M+-point workload of BASELINE.json:11).
     """
     cfg = config or MapConfig()
-    fused = fuse_frames(frames, poses, voxel=cfg.voxel, seed=cfg.seed)
-    rng = np.random.default_rng(cfg.seed)
-    n = fused.shape[0]
-    if n >= cfg.bucket:
-        idx = rng.choice(n, size=cfg.bucket, replace=False)
-        pts = jnp.asarray(fused[idx])
-        weights = jnp.ones((cfg.bucket,), jnp.float32)
-    else:
-        pad = np.zeros((cfg.bucket - n, 3), np.float32)
-        pts = jnp.asarray(np.concatenate([fused, pad]))
-        weights = jnp.asarray(
-            np.concatenate(
-                [np.ones(n, np.float32), np.zeros(cfg.bucket - n, np.float32)]
-            )
-        )
+    fused = fuse_frames(frames, poses, voxel=cfg.voxel)
+    pts, weights = _to_bucket(
+        fused, cfg.bucket, np.random.default_rng(cfg.seed)
+    )
     key = jax.random.PRNGKey(cfg.seed)
     if mesh is not None:
         from hgmm.parallel import sharded_tree_fit
@@ -182,11 +207,8 @@ def sample_mixture(params, n: int, seed: int = 0) -> np.ndarray:
     pi = pi / pi.sum()
     rng = np.random.default_rng(seed)
     comp = rng.choice(pi.size, size=n, p=pi)
-    chol = np.linalg.cholesky(sigma + 1e-9 * np.eye(3, dtype=sigma.dtype))
     z = rng.standard_normal((n, 3)).astype(np.float32)
-    return (
-        mu[comp] + np.einsum("nij,nj->ni", chol[comp], z)
-    ).astype(np.float32)
+    return _chol_samples(mu[comp], sigma[comp], z).astype(np.float32)
 
 
 def update_map(
@@ -211,7 +233,7 @@ def update_map(
     deeper levels over the joint evidence.
     """
     cfg = config or MapConfig()
-    fused_new = fuse_frames(frames, poses, voxel=cfg.voxel, seed=cfg.seed)
+    fused_new = fuse_frames(frames, poses, voxel=cfg.voxel)
     n_new = fused_new.shape[0]
     if carry_points is None:
         carry_points = min(n_new, cfg.bucket // 2)
@@ -231,15 +253,9 @@ def update_map(
             ),
         ]
     )
-    rng = np.random.default_rng(cfg.seed)
-    n = pts.shape[0]
-    if n >= cfg.bucket:
-        idx = rng.choice(n, size=cfg.bucket, replace=False)
-        pts, w = pts[idx], w[idx]
-    else:
-        pts = np.concatenate([pts, np.zeros((cfg.bucket - n, 3), np.float32)])
-        w = np.concatenate([w, np.zeros(cfg.bucket - n, np.float32)])
-    pts_j, w_j = jnp.asarray(pts), jnp.asarray(w)
+    pts_j, w_j = _to_bucket(
+        pts, cfg.bucket, np.random.default_rng(cfg.seed), weights=w
+    )
     init0 = map_tree.levels[0]
     if int(init0.pi.shape[0]) != cfg.branch:
         raise ValueError(
@@ -254,10 +270,8 @@ def update_map(
             em_iters=cfg.em_iters, key=jax.random.PRNGKey(cfg.seed),
             point_weights=w_j, init0=init0,
         )
-    from hgmm.models.gmm_tree import _fit_tree
-
-    lvls, _ = _fit_tree(
-        pts_j, init0, cfg.branch, cfg.levels, cfg.em_iters, 1e-6, "full",
-        w_j,
+    tree, _ = GmmTree.fit(
+        pts_j, branch=cfg.branch, levels=cfg.levels, em_iters=cfg.em_iters,
+        point_weights=w_j, init0=init0,
     )
-    return GmmTree(levels=tuple(lvls), branch=cfg.branch)
+    return tree

@@ -128,16 +128,15 @@ def export_map(path, tree, samples_per_leaf: int = 24, seed: int = 0) -> None:
     sigma = np.asarray(leaves.sigma)
     live = pi > 0
     mu_l, sig_l, pi_l = mu[live], sigma[live], pi[live]
+    from hgmm.pipelines.mapping import _chol_samples
+
     rng = np.random.default_rng(seed)
-    # Per-leaf Gaussian samples via Cholesky (eps for near-singular leaves).
-    chol = np.linalg.cholesky(
-        sig_l + 1e-9 * np.eye(3, dtype=sig_l.dtype)
-    )  # [K, 3, 3]
     z = rng.standard_normal((mu_l.shape[0], samples_per_leaf, 3)).astype(
         np.float32
     )
-    samples = (
-        mu_l[:, None, :] + np.einsum("kij,ksj->ksi", chol, z)
+    # Per-leaf Gaussian samples (shared eps-regularized Cholesky helper).
+    samples = _chol_samples(
+        mu_l[:, None, :], sig_l[:, None, :, :], z
     ).reshape(-1, 3)
     # Brightness encodes relative leaf weight (log-scaled).
     w = np.clip(np.log(pi_l / pi_l.max()) / np.log(1e-3), 0.0, 1.0)
