@@ -204,6 +204,43 @@ def cmd_odometry(args) -> None:
             )
 
 
+def cmd_localize(args) -> None:
+    """Relocalize a scan against a saved global map (pipelines.mapping)."""
+    import jax.numpy as jnp
+
+    from hgmm.pipelines.mapping import localize
+    from hgmm.utils import checkpoint as ckpt
+
+    tree = ckpt.load_tree(args.map)
+    scan = _load_cloud(args.scan)
+    mesh = None
+    if args.sharded:
+        from hgmm.parallel import make_mesh
+
+        mesh = make_mesh()
+    init = None
+    if args.init:
+        from hgmm.models.se3 import Pose
+
+        T = np.load(args.init)
+        init = Pose(jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3]))
+    t0 = time.perf_counter()
+    res = localize(
+        scan, tree, init_pose=init, mesh=mesh, n_iters=args.iters,
+        outlier_logit=(
+            None if args.outlier_logit != args.outlier_logit
+            else args.outlier_logit
+        ),
+    )
+    dt = time.perf_counter() - t0
+    T = np.asarray(res.pose.matrix())
+    print(f"converged={bool(res.converged)} in {dt:.2f}s; scan->map transform:")
+    print(T)
+    if args.out:
+        np.save(args.out, T)
+        print(f"saved -> {args.out}")
+
+
 def cmd_icp(args) -> None:
     import jax.numpy as jnp
 
@@ -309,6 +346,25 @@ def main(argv=None) -> None:
     o.add_argument("--calib", default=None, help="calib.txt (default: sequence dir)")
     o.add_argument("--metrics", default=None, help="JSONL metrics sink path")
     o.set_defaults(fn=cmd_odometry)
+
+    lz = sub.add_parser(
+        "localize", help="relocalize a scan against a saved global map"
+    )
+    lz.add_argument("scan", help="scan cloud (.bin/.ply/.npy)")
+    lz.add_argument("map", help="map .npz from `hgmm odometry --map`")
+    lz.add_argument(
+        "--init", default=None,
+        help=".npy 4x4 initial transform guess (e.g. last known pose)",
+    )
+    lz.add_argument("--iters", type=int, default=40)
+    lz.add_argument(
+        "--outlier-logit", type=float, default=-8.0,
+        help="uniform outlier log-density; nan disables (scans usually "
+        "see unmapped geometry — keep gating on)",
+    )
+    lz.add_argument("--sharded", action="store_true")
+    lz.add_argument("--out", default=None, help="save the 4x4 transform (.npy)")
+    lz.set_defaults(fn=cmd_localize)
 
     i = sub.add_parser("icp", help="ICP baseline registration")
     i.add_argument("source")

@@ -210,6 +210,21 @@ def test_odometry_cli_loop_closure_refine(tmp_path, capsys):
     # health signal (a broken map collapses weights to few components).
     assert live >= 64, live
 
+    # And the localize CLI: frame 0's scan against the saved map must
+    # recover ~identity (frame 0 IS the world origin by construction).
+    loc_out = tmp_path / "loc.npy"
+    main(
+        [
+            "localize", str(seq / "velodyne" / "000000.bin"), str(map_path),
+            "--iters", "25", "--outlier-logit", "-3.0",
+            "--out", str(loc_out),
+        ]
+    )
+    capsys.readouterr()
+    T = np.load(loc_out)
+    assert np.linalg.norm(T[:3, 3]) < 0.05, T
+    assert abs(np.trace(T[:3, :3]) - 3.0) < 0.05, T
+
 
 @pytest.mark.slow
 def test_odometry_cli_sharded_tree_slam(tmp_path, capsys):
