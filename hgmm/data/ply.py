@@ -9,7 +9,6 @@ shared library has been built (`python -m hgmm.data.native --build`).
 
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import numpy as np

@@ -25,8 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from hgmm import ops
 from hgmm.models.gmm import init_params, scene_variance
 from hgmm.models.gmm_tree import seed_children
-from hgmm.models.pose import apply_wls_increment, solve_horn, solve_wls_increment
-from hgmm.models.se3 import Pose, se3_log
+from hgmm.models.se3 import Pose
 from hgmm.ops.gaussians import (
     MixtureParams,
     max_logit_params,
