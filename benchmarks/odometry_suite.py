@@ -46,12 +46,18 @@ def make_sequence(n_frames, points_per_frame, seed=0):
     from hgmm.data.synthetic import make_cloud
     from hgmm.models.se3 import Pose, so3_exp
 
+    # FIXED loop geometry (the 64-frame reference configuration: 4.58 m
+    # radius inside an 8 m scene); more frames sample the same loop more
+    # densely (a slower drive). Scaling the loop with n_frames instead
+    # left long sequences outside the scene / in a different
+    # density-vs-outlier-gate regime (measured at 200 frames: first
+    # drift-dominated, then gate-dominated) — geometry must stay fixed
+    # for frame counts to be comparable.
+    radius = 0.45 * 64 / (2 * np.pi)  # per-step motion = 2*pi*r/n_frames
     scene = 8.0 * make_cloud(
         jax.random.PRNGKey(seed), max(40_000, 3 * points_per_frame),
         kind="trefoil",
     )
-    step_len = 0.45
-    radius = step_len * n_frames / (2 * np.pi)
     gt, frames = [], []
     rng = np.random.default_rng(seed)
     for k in range(n_frames):

@@ -35,6 +35,15 @@ class ClosureConfig:
 
     min_separation: int = 5  # skip near-adjacent frames (chain covers them)
     radius_steps: float = 2.0  # candidate gate: |t_i - t_j| < this x median step
+    # Drift allowance: the gate RADIUS grows with the separation j - i as
+    # radius_steps*med + drift_rate*med*(j-i), because dead-reckoned
+    # position error accumulates with traveled path while the base gate
+    # shrinks with dense sampling (measured: a 200-frame loop at 0.07 m
+    # steps carried ~1 m of drift — 14x the base gate — so the true
+    # revisit never became a candidate; at 64 frames/0.45 m steps the
+    # old absolute gate worked by accident of scale). 0 restores the
+    # separation-independent gate.
+    drift_rate: float = 0.05
     max_heading: float = 1.2  # rad: relative rotation angle gate
     max_candidates: int = 8  # verification budget (registrations are the cost)
     accept_delta: float = 1e-3  # non-converged candidates need delta below this
@@ -68,18 +77,28 @@ def propose_candidates(
         return []
     steps = np.linalg.norm(np.diff(t, axis=0), axis=1)
     med = float(np.median(steps)) if steps.size else 0.0
-    radius = cfg.radius_steps * max(med, 1e-12)
+    med = max(med, 1e-12)
     dist = np.linalg.norm(t[:, None] - t[None, :], axis=-1)  # [F, F]
     # Geodesic rotation angle: cos(theta) = (trace(Ri^T Rj) - 1) / 2.
     tr = np.einsum("iab,jab->ij", R, R)
     ang = np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0))
     ii, jj = np.meshgrid(np.arange(f), np.arange(f), indexing="ij")
+    # Separation-aware gate (see ClosureConfig.drift_rate): base radius
+    # plus a linear-in-separation drift allowance. Clamped positive: the
+    # j <= i half of the matrix would otherwise go non-positive and the
+    # ratio below emit divide-by-zero warnings (those pairs are masked
+    # out by ok anyway).
+    radius = np.maximum(
+        med * (cfg.radius_steps + cfg.drift_rate * (jj - ii)), 1e-30
+    )
     ok = (
         (jj - ii > cfg.min_separation)
         & (dist < radius)
         & (ang <= cfg.max_heading)
     )
-    order = np.argsort(dist[ok], kind="stable")
+    # Nearest-relative-to-gate first: with a separation-dependent gate,
+    # raw distance would systematically prefer small separations.
+    order = np.argsort((dist / radius)[ok], kind="stable")
     return list(zip(ii[ok][order].tolist(), jj[ok][order].tolist()))
 
 
